@@ -1,0 +1,153 @@
+"""Shared neural-net primitives, numerics-matched to the reference.
+
+All functions are pure; parameters are plain dicts of jnp arrays. Linear
+weights are stored **[in, out]** (transposed from torch's [out, in]) so the
+forward is a plain ``x @ w + b`` that maps straight onto the MXU.
+
+Numerics pinned to the reference:
+- LayerNorm: TF-style, eps inside the sqrt (volta/volta/embeddings.py:20-33;
+  apex FusedLayerNorm uses the same placement). UC2 eps=1e-5, M3P eps=1e-12.
+- GeLU: exact erf form (volta/volta/encoders.py:131-137).
+- Attention masks: additive ``(1-m) * -10000`` (encoders.py:987-995) for UC2;
+  M3P uses masked_fill(-inf) (m3p_transformer.py:198-201).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               eps: float) -> jnp.ndarray:
+    """TF-style LayerNorm (eps inside sqrt), computed in fp32."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(dtype)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact erf GeLU (reference uses this, not the tanh approximation)."""
+    return x * 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+
+
+def linear(x: jnp.ndarray, p: Params, compute_dtype=None) -> jnp.ndarray:
+    """x @ w + b with optional low-precision matmul (fp32 accumulation)."""
+    w, b = p["w"], p["b"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return y + b
+
+
+def dropout(x: jnp.ndarray, rate: float, rng, deterministic: bool) -> jnp.ndarray:
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def create_position_ids_from_input_ids(input_ids: jnp.ndarray,
+                                       padding_idx: int) -> jnp.ndarray:
+    """RoBERTa-style positions: padding_idx+1.. for non-pad tokens, padding_idx
+    for pads (volta/volta/embeddings.py:160-170)."""
+    mask = (input_ids != padding_idx).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + padding_idx
+
+
+def additive_mask(mask01: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, S] {0,1} -> [B, 1, 1, S] additive mask with -10000 at pads
+    (volta/volta/encoders.py:987-995; exactly -10000, not -inf)."""
+    return ((1.0 - mask01.astype(dtype)) * -10000.0)[:, None, None, :]
+
+
+def multi_head_attention(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    p: Params,
+    num_heads: int,
+    attn_bias: jnp.ndarray,
+    *,
+    dropout_rate: float = 0.0,
+    rng=None,
+    deterministic: bool = True,
+    compute_dtype=None,
+    scale_query: bool = False,
+) -> jnp.ndarray:
+    """Standard MHA. ``attn_bias`` is additive, broadcastable to
+    [B, H, Sq, Skv].
+
+    scale_query=False: scores / sqrt(d) after QK^T (UC2, encoders.py:266).
+    scale_query=True: q / sqrt(d) before QK^T (M3P, m3p_transformer.py:196).
+    The two differ only in fp rounding; both are kept for bit-parity tests.
+    """
+    B, Sq, D = x_q.shape
+    Skv = x_kv.shape[1]
+    hd = D // num_heads
+
+    q = linear(x_q, p["q"], compute_dtype).reshape(B, Sq, num_heads, hd)
+    k = linear(x_kv, p["k"], compute_dtype).reshape(B, Skv, num_heads, hd)
+    v = linear(x_kv, p["v"], compute_dtype).reshape(B, Skv, num_heads, hd)
+
+    scale = 1.0 / math.sqrt(hd)
+    if scale_query:
+        q = q * scale
+    # [B, H, Sq, Skv]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if not scale_query:
+        scores = scores * scale
+    scores = scores + attn_bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if not deterministic and dropout_rate > 0.0:
+        probs = dropout(probs, dropout_rate, rng, deterministic)
+    if compute_dtype is not None:
+        probs = probs.astype(compute_dtype)
+        v = v.astype(compute_dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=jnp.float32)
+    ctx = ctx.reshape(B, Sq, D)
+    return linear(ctx, p["o"], compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initializers (match torch defaults used by the reference's
+# init_weights: normal(0, initializer_range) for Linear/Embedding,
+# LN scale=1 bias=0; SimpleClassifier uses xavier_uniform).
+# ---------------------------------------------------------------------------
+
+def init_linear(rng, d_in: int, d_out: int, std: float) -> Params:
+    return {
+        "w": jax.random.normal(rng, (d_in, d_out), jnp.float32) * std,
+        "b": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def init_linear_xavier(rng, d_in: int, d_out: int) -> Params:
+    limit = math.sqrt(6.0 / (d_in + d_out))
+    return {
+        "w": jax.random.uniform(rng, (d_in, d_out), jnp.float32, -limit, limit),
+        "b": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def init_ln(d: int) -> Params:
+    return {"scale": jnp.ones((d,), jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def init_embedding(rng, n: int, d: int, std: float,
+                   padding_idx: int | None = None) -> jnp.ndarray:
+    e = jax.random.normal(rng, (n, d), jnp.float32) * std
+    if padding_idx is not None:
+        e = e.at[padding_idx].set(0.0)
+    return e

@@ -1,0 +1,183 @@
+"""Checkpoint ingest: torch/VOLTA state_dicts -> framework pytrees.
+
+Reproduces the key-remapping pipeline of the reference's
+``PreTrainedModel.from_pretrained`` (volta/volta/utils.py:455-518):
+ 1. gamma/beta -> weight/bias,
+ 2. HF BERT layer-number -> VOLTA sublayer renumbering via
+    bert_layer2attn_sublayer / bert_layer2ff_sublayer,
+ 3. roberta->bert + lm_head renames,
+ 4. "module." (DDP) prefix stripping (train_utils.py:496-501),
+then maps VOLTA parameter names onto our stacked-layer pytree. Torch Linear
+weights [out, in] are transposed to [in, out].
+
+All inputs are plain numpy mappings (call ``{k: v.numpy() for k, v in
+torch.load(f).items()}`` first); this module does not import torch.
+"""
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from ..config import UC2Config
+
+
+def normalize_volta_keys(sd: Mapping[str, np.ndarray], *, from_hf: bool = False,
+                         layer2attn: Mapping[str, int] | None = None,
+                         layer2ff: Mapping[str, int] | None = None,
+                         ) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        nk = k
+        if nk.startswith("module."):
+            nk = nk[len("module."):]
+        nk = nk.replace("gamma", "weight").replace("beta", "bias")
+        if from_hf and ".layer." in nk:
+            num = nk.split(".layer.")[-1].split(".")[0]
+            if ".attention." in nk and layer2attn:
+                nk = nk.replace(f".layer.{num}.attention.",
+                                f".layer.{layer2attn[num]}.attention_")
+            elif ".intermediate." in nk and layer2ff:
+                nk = nk.replace(f".layer.{num}.intermediate.",
+                                f".layer.{layer2ff[num]}.intermediate.")
+            elif ".output." in nk and layer2ff:
+                nk = nk.replace(f".layer.{num}.output.",
+                                f".layer.{layer2ff[num]}.output.")
+        nk = nk.replace("roberta", "bert")
+        nk = nk.replace("lm_head.dense", "cls.predictions.transform.dense")
+        nk = nk.replace("lm_head.layer_norm", "cls.predictions.transform.LayerNorm")
+        out[nk] = np.asarray(v)
+    return out
+
+
+def _lin(sd, name):
+    return {"w": sd[f"{name}.weight"].T.astype(np.float32),
+            "b": sd[f"{name}.bias"].astype(np.float32)}
+
+
+def _ln(sd, name):
+    return {"scale": sd[f"{name}.weight"].astype(np.float32),
+            "bias": sd[f"{name}.bias"].astype(np.float32)}
+
+
+def volta_uc2_to_pytree(sd: Mapping[str, np.ndarray], cfg: UC2Config,
+                        task_key: str = "TASK15") -> dict:
+    """Map a (normalized) VOLTA UC2 state_dict to our UC2 params pytree.
+
+    VOLTA stores the shared text/vision weights under both plain and ``v_``
+    names (e.g. attention_self.query and attention_self.v_query point at the
+    same tensor, encoders.py:209-214); we read the plain names and verify the
+    aliases when present.
+    """
+    nL = cfg.num_layers
+    emb = "bert.embeddings"
+    params = {
+        "embeddings": {
+            "word": sd[f"{emb}.word_embeddings.weight"].astype(np.float32),
+            "position": sd[f"{emb}.position_embeddings.weight"].astype(np.float32),
+            "token_type": sd[f"{emb}.new_token_type_embeddings.weight"].astype(np.float32),
+            "ln": _ln(sd, f"{emb}.LayerNorm"),
+            "image": _lin(sd, f"{emb}.image_embeddings"),
+            "loc": _lin(sd, f"{emb}.image_location_embeddings"),
+            "image_ln": _ln(sd, f"{emb}.image_layer_norm"),
+            "loc_ln": _ln(sd, f"{emb}.image_location_layer_norm"),
+            "v_ln": _ln(sd, f"{emb}.v_LayerNorm"),
+        },
+    }
+
+    def stack(fn):
+        mats = [fn(b) for b in range(nL)]
+        return {k: np.stack([m[k] for m in mats]) for k in mats[0]}
+
+    lyr = "bert.encoder.layer"
+    params["encoder"] = {
+        "attn": {
+            "q": stack(lambda b: _lin(sd, f"{lyr}.{2*b}.attention_self.query")),
+            "k": stack(lambda b: _lin(sd, f"{lyr}.{2*b}.attention_self.key")),
+            "v": stack(lambda b: _lin(sd, f"{lyr}.{2*b}.attention_self.value")),
+            "o": stack(lambda b: _lin(sd, f"{lyr}.{2*b}.attention_output.dense")),
+        },
+        "ln1": stack(lambda b: _ln(sd, f"{lyr}.{2*b}.attention_output.LayerNorm")),
+        "ffn": {
+            "w1": stack(lambda b: _lin(sd, f"{lyr}.{2*b+1}.intermediate.dense")),
+            "w2": stack(lambda b: _lin(sd, f"{lyr}.{2*b+1}.output.dense")),
+        },
+        "ln2": stack(lambda b: _ln(sd, f"{lyr}.{2*b+1}.output.LayerNorm")),
+    }
+
+    # shared-weight aliases must agree if present
+    for b in range(nL):
+        for a, bname in (("query", "v_query"), ("key", "v_key"),
+                         ("value", "v_value")):
+            vk = f"{lyr}.{2*b}.attention_self.{bname}.weight"
+            if vk in sd:
+                assert np.array_equal(sd[vk],
+                                      sd[f"{lyr}.{2*b}.attention_self.{a}.weight"]), \
+                    f"unshared {vk} in supposedly shared checkpoint"
+
+    params["pooler"] = _lin(sd, "bert.t_pooler.dense")
+    clf = f"clfs_dict.{task_key}.logit_fc"
+    if f"{clf}.0.weight" in sd:
+        params["classifier"] = {
+            "fc1": _lin(sd, f"{clf}.0"),
+            "ln": _ln(sd, f"{clf}.2"),
+            "fc2": _lin(sd, f"{clf}.3"),
+        }
+    return params
+
+
+def pytree_to_volta_uc2(params, task_key: str = "TASK15") -> dict[str, np.ndarray]:
+    """Inverse mapping, for exporting checkpoints the reference stack can load
+    (including the ``v_`` aliases for shared weights)."""
+    sd: dict[str, np.ndarray] = {}
+
+    def put_lin(name, p):
+        sd[f"{name}.weight"] = np.asarray(p["w"]).T
+        sd[f"{name}.bias"] = np.asarray(p["b"])
+
+    def put_ln(name, p):
+        sd[f"{name}.weight"] = np.asarray(p["scale"])
+        sd[f"{name}.bias"] = np.asarray(p["bias"])
+
+    e = params["embeddings"]
+    emb = "bert.embeddings"
+    sd[f"{emb}.word_embeddings.weight"] = np.asarray(e["word"])
+    sd[f"{emb}.position_embeddings.weight"] = np.asarray(e["position"])
+    sd[f"{emb}.new_token_type_embeddings.weight"] = np.asarray(e["token_type"])
+    put_ln(f"{emb}.LayerNorm", e["ln"])
+    put_lin(f"{emb}.image_embeddings", e["image"])
+    put_lin(f"{emb}.image_location_embeddings", e["loc"])
+    put_ln(f"{emb}.image_layer_norm", e["image_ln"])
+    put_ln(f"{emb}.image_location_layer_norm", e["loc_ln"])
+    put_ln(f"{emb}.v_LayerNorm", e["v_ln"])
+
+    enc = params["encoder"]
+    nL = np.asarray(enc["ln1"]["scale"]).shape[0]
+    lyr = "bert.encoder.layer"
+    for b in range(nL):
+        for src, names in (("q", ["query", "v_query"]), ("k", ["key", "v_key"]),
+                           ("v", ["value", "v_value"])):
+            p = {k: np.asarray(v)[b] for k, v in enc["attn"][src].items()}
+            for n in names:
+                put_lin(f"{lyr}.{2*b}.attention_self.{n}", p)
+        po = {k: np.asarray(v)[b] for k, v in enc["attn"]["o"].items()}
+        put_lin(f"{lyr}.{2*b}.attention_output.dense", po)
+        put_lin(f"{lyr}.{2*b}.attention_output.v_dense", po)
+        put_ln(f"{lyr}.{2*b}.attention_output.LayerNorm",
+               {k: np.asarray(v)[b] for k, v in enc["ln1"].items()})
+        p1 = {k: np.asarray(v)[b] for k, v in enc["ffn"]["w1"].items()}
+        p2 = {k: np.asarray(v)[b] for k, v in enc["ffn"]["w2"].items()}
+        put_lin(f"{lyr}.{2*b+1}.intermediate.dense", p1)
+        put_lin(f"{lyr}.{2*b+1}.intermediate.v_dense", p1)
+        put_lin(f"{lyr}.{2*b+1}.output.dense", p2)
+        put_lin(f"{lyr}.{2*b+1}.output.v_dense", p2)
+        put_ln(f"{lyr}.{2*b+1}.output.LayerNorm",
+               {k: np.asarray(v)[b] for k, v in enc["ln2"].items()})
+
+    put_lin("bert.t_pooler.dense", params["pooler"])
+    if "classifier" in params:
+        c = params["classifier"]
+        put_lin(f"clfs_dict.{task_key}.logit_fc.0", c["fc1"])
+        put_ln(f"clfs_dict.{task_key}.logit_fc.2", c["ln"])
+        put_lin(f"clfs_dict.{task_key}.logit_fc.3", c["fc2"])
+    return sd
