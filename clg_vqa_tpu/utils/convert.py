@@ -181,3 +181,98 @@ def pytree_to_volta_uc2(params, task_key: str = "TASK15") -> dict[str, np.ndarra
         put_ln(f"clfs_dict.{task_key}.logit_fc.2", c["ln"])
         put_lin(f"clfs_dict.{task_key}.logit_fc.3", c["fc2"])
     return sd
+
+
+# ---------------------------------------------------------------------------
+# M3P (volta/volta/m3p_transformer.py:609-750 parameter names; only the
+# jointfwd-path modules are mapped — AoA refiner, VAE latent transforms,
+# encoder_attn, generation heads are never touched by CLG-VQA's VQA path and
+# are ignored here, mirroring the prefix-tolerant load in utils.py:530-552).
+# ---------------------------------------------------------------------------
+
+def volta_m3p_to_pytree(sd: Mapping[str, np.ndarray], cfg,
+                        task_key: str = "TASK15") -> dict:
+    nL = cfg.num_layers
+    enc = "bert.encoder"
+    params = {
+        "embeddings": {
+            "word": sd[f"{enc}.embeddings.weight"].astype(np.float32),
+            "position": sd[f"{enc}.position_embeddings.weight"].astype(np.float32),
+            "ln": _ln(sd, f"{enc}.layer_norm_emb"),
+            "image": _lin(sd, f"{enc}.image_embeddings.image_embeddings"),
+            "loc": _lin(sd, f"{enc}.image_embeddings.image_location_embeddings"),
+            "img_ln": _ln(sd, f"{enc}.image_embeddings.LayerNorm"),
+        },
+    }
+
+    def stack(fn):
+        mats = [fn(i) for i in range(nL)]
+        return {k: np.stack([m[k] for m in mats]) for k in mats[0]}
+
+    params["encoder"] = {
+        "attn": {
+            "q": stack(lambda i: _lin(sd, f"{enc}.attentions.{i}.q_lin")),
+            "k": stack(lambda i: _lin(sd, f"{enc}.attentions.{i}.k_lin")),
+            "v": stack(lambda i: _lin(sd, f"{enc}.attentions.{i}.v_lin")),
+            "o": stack(lambda i: _lin(sd, f"{enc}.attentions.{i}.out_lin")),
+        },
+        "ln1": stack(lambda i: _ln(sd, f"{enc}.layer_norm1.{i}")),
+        "ffn": {
+            "w1": stack(lambda i: _lin(sd, f"{enc}.ffns.{i}.lin1")),
+            "w2": stack(lambda i: _lin(sd, f"{enc}.ffns.{i}.lin2")),
+        },
+        "ln2": stack(lambda i: _ln(sd, f"{enc}.layer_norm2.{i}")),
+    }
+    params["pooler"] = _lin(sd, f"{enc}.pooled_layer.dense")
+    clf = f"clfs_dict.{task_key}.logit_fc"
+    if f"{clf}.0.weight" in sd:
+        params["classifier"] = {
+            "fc1": _lin(sd, f"{clf}.0"),
+            "ln": _ln(sd, f"{clf}.2"),
+            "fc2": _lin(sd, f"{clf}.3"),
+        }
+    return params
+
+
+def pytree_to_volta_m3p(params, task_key: str = "TASK15") -> dict[str, np.ndarray]:
+    sd: dict[str, np.ndarray] = {}
+
+    def put_lin(name, p):
+        sd[f"{name}.weight"] = np.asarray(p["w"]).T
+        sd[f"{name}.bias"] = np.asarray(p["b"])
+
+    def put_ln(name, p):
+        sd[f"{name}.weight"] = np.asarray(p["scale"])
+        sd[f"{name}.bias"] = np.asarray(p["bias"])
+
+    e = params["embeddings"]
+    enc = "bert.encoder"
+    sd[f"{enc}.embeddings.weight"] = np.asarray(e["word"])
+    sd[f"{enc}.position_embeddings.weight"] = np.asarray(e["position"])
+    put_ln(f"{enc}.layer_norm_emb", e["ln"])
+    put_lin(f"{enc}.image_embeddings.image_embeddings", e["image"])
+    put_lin(f"{enc}.image_embeddings.image_location_embeddings", e["loc"])
+    put_ln(f"{enc}.image_embeddings.LayerNorm", e["img_ln"])
+
+    p_enc = params["encoder"]
+    nL = np.asarray(p_enc["ln1"]["scale"]).shape[0]
+    for i in range(nL):
+        for src, name in (("q", "q_lin"), ("k", "k_lin"), ("v", "v_lin"),
+                          ("o", "out_lin")):
+            put_lin(f"{enc}.attentions.{i}.{name}",
+                    {k: np.asarray(v)[i] for k, v in p_enc["attn"][src].items()})
+        put_ln(f"{enc}.layer_norm1.{i}",
+               {k: np.asarray(v)[i] for k, v in p_enc["ln1"].items()})
+        put_lin(f"{enc}.ffns.{i}.lin1",
+                {k: np.asarray(v)[i] for k, v in p_enc["ffn"]["w1"].items()})
+        put_lin(f"{enc}.ffns.{i}.lin2",
+                {k: np.asarray(v)[i] for k, v in p_enc["ffn"]["w2"].items()})
+        put_ln(f"{enc}.layer_norm2.{i}",
+               {k: np.asarray(v)[i] for k, v in p_enc["ln2"].items()})
+    put_lin(f"{enc}.pooled_layer.dense", params["pooler"])
+    if "classifier" in params:
+        c = params["classifier"]
+        put_lin(f"clfs_dict.{task_key}.logit_fc.0", c["fc1"])
+        put_ln(f"clfs_dict.{task_key}.logit_fc.2", c["ln"])
+        put_lin(f"clfs_dict.{task_key}.logit_fc.3", c["fc2"])
+    return sd
