@@ -1,0 +1,166 @@
+"""Jitted training/eval steps for the GQA fine-tuning recipe.
+
+Reproduces the reference's training semantics (volta/train_task.py:313-367,
+volta/volta/task_utils.py:308-434) in one compiled XLA program per step:
+
+ - gradient accumulation: the reference divides the loss by grad_acc_steps
+   and sums gradients over micro-steps (train_task.py:322-338); here the
+   microbatches live in a leading axis and a ``lax.scan`` accumulates —
+   no host round-trips between micro-steps.
+ - loss: num_labels * (CE(logits, argmax target) + lambda * semantic prior)
+   with the prior's distance rows gathered on-device from a resident
+   [num_labels, num_labels] matrix (see ops/semantic_prior.py) instead of the
+   reference's per-batch Python loop.
+ - clip_grad_norm(1.0) -> AdamW(pytorch_transformers semantics) -> warmup
+   schedule, all inside the step (train/optim.py).
+ - sparse fine-tuning: an optional 0/1 mask pytree multiplies gradients
+   before clipping, which with mask-zeroed initial params reproduces torch's
+   ``prune.CustomFromMask`` reparametrization exactly (train_task_sft.py:44-132).
+ - bf16 matmuls with fp32 master weights/optimizer state.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.semantic_prior import gqa_train_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray            # completed optimizer updates
+
+
+def make_loss_fn(model_forward: Callable, cfg, distance_matrix, *,
+                 semantic_lambda: float, top_k: int = 10,
+                 compute_dtype=jnp.bfloat16) -> Callable:
+    def loss_fn(params, mb, rng):
+        logits = model_forward(params, cfg, mb, deterministic=rng is None,
+                               rng=rng, compute_dtype=compute_dtype)
+        loss = gqa_train_loss(
+            logits, mb["labels"], distance_matrix,
+            semantic_lambda=semantic_lambda, top_k=top_k,
+            num_labels=cfg.num_labels)
+        score = jnp.mean((jnp.argmax(logits, -1) == mb["labels"])
+                         .astype(jnp.float32))
+        return loss, score
+
+    return loss_fn
+
+
+def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
+                    *, semantic_lambda: float, top_k: int = 10,
+                    compute_dtype=jnp.bfloat16,
+                    grad_mask: Any = None,
+                    use_dropout: bool = True) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    ``batch`` leaves are shaped [grad_acc, micro_bs, ...].
+    """
+    loss_fn = make_loss_fn(model_forward, cfg, distance_matrix,
+                           semantic_lambda=semantic_lambda, top_k=top_k,
+                           compute_dtype=compute_dtype)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch, rng):
+        acc = jax.tree.leaves(batch)[0].shape[0]
+        rngs = jax.random.split(rng, acc) if use_dropout else None
+
+        def micro(carry, xs):
+            g_acc, l_acc, s_acc = carry
+            mb, r = xs
+            (loss, score), grads = grad_fn(state.params, mb,
+                                           r if use_dropout else None)
+            g_acc = jax.tree.map(lambda a, g: a + g / acc, g_acc, grads)
+            return (g_acc, l_acc + loss / acc, s_acc + score / acc), None
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        xs = (batch, rngs) if use_dropout else (batch, jnp.zeros((acc,)))
+        (grads, loss, score), _ = jax.lax.scan(
+            micro, (zero, jnp.zeros(()), jnp.zeros(())), xs)
+
+        if grad_mask is not None:
+            grads = jax.tree.map(
+                lambda g, m: g * m if m is not None else g, grads, grad_mask,
+                is_leaf=lambda x: x is None)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "score": score,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(model_forward: Callable, cfg, *,
+                   compute_dtype=jnp.bfloat16) -> Callable:
+    """ForwardModelsVal for VL-classifier-GQA (task_utils.py:265-269):
+    loss = num_labels * CE, score = #correct (weights by mask for padded
+    tail batches)."""
+
+    def eval_step(params, batch):
+        logits = model_forward(params, cfg, batch, deterministic=True,
+                               compute_dtype=compute_dtype)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        ce = -jnp.take_along_axis(logp, batch["labels"][:, None], -1)[:, 0]
+        valid = batch.get("valid",
+                          jnp.ones_like(batch["labels"], jnp.float32))
+        n = jnp.maximum(jnp.sum(valid), 1.0)
+        loss = cfg.num_labels * jnp.sum(ce * valid) / n
+        correct = jnp.sum(
+            (jnp.argmax(logits, -1) == batch["labels"]).astype(jnp.float32)
+            * valid)
+        return {"loss": loss, "correct": correct, "count": jnp.sum(valid),
+                "pred": jnp.argmax(logits, -1)}
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-chip) wiring
+# ---------------------------------------------------------------------------
+
+def shard_train_step(train_step: Callable, mesh, state: TrainState,
+                     batch_example, *, donate: bool = True) -> Callable:
+    """jit the train step over a (dp, mp) mesh with explicit in/out shardings.
+    XLA inserts the dp gradient all-reduce and mp collectives automatically."""
+    from ..parallel import mesh as pm
+
+    # params get the (dp-replicated, mp-sharded) layout; optimizer mu/nu
+    # mirror it; everything else is replicated.
+    state_sh = _shard_opt_state_like(mesh, state)
+    batch_sh = pm.batch_shardings(mesh, batch_example, microbatched=True)
+    rng_sh = pm.replicated(mesh)
+    return jax.jit(train_step,
+                   in_shardings=(state_sh, batch_sh, rng_sh),
+                   out_shardings=(state_sh, pm.replicated(mesh)),
+                   donate_argnums=(0,) if donate else ())
+
+
+def _shard_opt_state_like(mesh, state: TrainState) -> TrainState:
+    """Build the full TrainState sharding tree; AdamW mu/nu get the same
+    layout as their params."""
+    from ..parallel import mesh as pm
+    from .optim import AdamWState
+
+    p_sh = pm.param_shardings(mesh, state.params)
+
+    def fix(os):
+        if isinstance(os, AdamWState):
+            return AdamWState(count=pm.replicated(mesh),
+                              mu=p_sh, nu=p_sh)
+        if isinstance(os, tuple):
+            fixed = [fix(x) for x in os]
+            # preserve NamedTuple types (optax EmptyState etc.)
+            return type(os)(*fixed) if hasattr(os, "_fields") else tuple(fixed)
+        return jax.tree.map(lambda _: pm.replicated(mesh), os)
+
+    return TrainState(params=p_sh, opt_state=fix(state.opt_state),
+                      step=pm.replicated(mesh))

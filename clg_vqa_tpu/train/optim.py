@@ -1,0 +1,142 @@
+"""Optimizer + LR schedule matching the reference fine-tuning recipe.
+
+The reference uses ``pytorch_transformers.AdamW`` with
+``WarmupLinearSchedule`` (volta/train_task.py:263-276) and two parameter
+groups: weight-decay for everything except biases and LayerNorm params
+(train_task.py:249-260). The pytorch_transformers AdamW update rule differs
+from both torch.optim.AdamW and optax.adamw:
+
+    m <- b1*m + (1-b1)*g            v <- b2*v + (1-b2)*g^2
+    denom = sqrt(v) + eps           (eps OUTSIDE the sqrt)
+    step_size = lr * sqrt(1-b2^t)/(1-b1^t)   (if correct_bias, t from 1)
+    p <- p - step_size * m/denom
+    p <- p - lr * wd * p            (decoupled decay on the UPDATED p,
+                                     scaled by raw lr, not bias-corrected)
+
+We implement exactly that as an optax GradientTransformation so training
+dynamics match the reference bit-for-bit in fp32.
+
+The per-key lr override for "vil_" parameters (train_task.py:256) is a no-op
+for CLG-VQA's models (no parameter name contains "vil_"); we document rather
+than reproduce it.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class AdamWState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def adamw_pt(learning_rate: float | Callable[[jnp.ndarray], jnp.ndarray],
+             b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6,
+             weight_decay: float = 1e-4, correct_bias: bool = True,
+             decay_mask: Any = None) -> optax.GradientTransformation:
+    """pytorch_transformers-semantics AdamW.
+
+    decay_mask: pytree of bools (True = apply weight decay), same structure
+    as params. None = decay everything.
+    """
+
+    def init(params):
+        return AdamWState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(grads, state, params):
+        count = state.count + 1
+        lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+        if correct_bias:
+            t = count.astype(jnp.float32)
+            step_size = lr * jnp.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+        else:
+            step_size = lr
+
+        def upd(m, v, p, decay):
+            new_p = p - step_size * m / (jnp.sqrt(v) + eps)
+            if weight_decay > 0:
+                new_p = jnp.where(decay, new_p - lr * weight_decay * new_p, new_p)
+            return new_p - p
+
+        if decay_mask is None:
+            mask = jax.tree.map(lambda _: True, params)
+        else:
+            mask = decay_mask
+        updates = jax.tree.map(upd, mu, nu, params, mask)
+        return updates, AdamWState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def warmup_linear_schedule(base_lr: float, warmup_steps: int,
+                           total_steps: int) -> Callable:
+    """WarmupLinearSchedule: linear 0->1 over warmup, then linear 1->0 to
+    t_total. ``step`` counts completed optimizer updates (the torch LambdaLR
+    applies factor(last_epoch) *before* each step, starting at 0 — so the very
+    first update runs at factor(0)=0 when warmup>0, which we reproduce)."""
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        w = jnp.maximum(1.0, float(warmup_steps))
+        rest = jnp.maximum(1.0, float(total_steps - warmup_steps))
+        return base_lr * jnp.where(
+            step < warmup_steps, step / w,
+            jnp.maximum(0.0, (total_steps - step) / rest))
+
+    return sched
+
+
+def warmup_constant_schedule(base_lr: float, warmup_steps: int) -> Callable:
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        w = jnp.maximum(1.0, float(warmup_steps))
+        return base_lr * jnp.minimum(1.0, step / w)
+
+    return sched
+
+
+def no_decay_mask(params: Any) -> Any:
+    """True where weight decay applies: excludes biases and LayerNorm
+    scale/bias, matching the reference's name-substring rule
+    ("bias", "LayerNorm.bias", "LayerNorm.weight"; train_task.py:249-260).
+    In our pytree: any leaf named "b" under a linear, or under an "ln*" /
+    "*_ln" subtree, or named scale/bias."""
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        name = path[-1] if path else ""
+        in_ln = any(("ln" == p or p.endswith("_ln") or p.startswith("ln"))
+                    for p in path)
+        is_bias = name in ("b", "bias", "scale")
+        return not (is_bias or in_ln)
+
+    return walk(params, ())
+
+
+def make_optimizer(params: Any, schedule: Callable, *, b1=0.9, b2=0.999,
+                   eps=1e-6, weight_decay=1e-4, correct_bias=True,
+                   clip_norm: float = 1.0) -> optax.GradientTransformation:
+    """Full reference chain: global-norm clip(1.0) -> AdamW(pt semantics).
+
+    Sparse fine-tuning (CustomFromMask semantics) is realized by zeroing
+    masked weights at init and multiplying gradients by the mask *before*
+    this chain (see train/pruning.py) — masked weights then stay exactly 0
+    through the adam update and the decoupled decay.
+    """
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        adamw_pt(schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+                 correct_bias=correct_bias, decay_mask=no_decay_mask(params)),
+    )

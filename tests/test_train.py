@@ -1,0 +1,201 @@
+"""Training-stack tests: optimizer semantics, loss parity with the reference
+formula, grad-accumulation equivalence, and the sharded multi-chip step on
+the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from clg_vqa_tpu.config import UC2Config
+from clg_vqa_tpu.models import uc2
+from clg_vqa_tpu.ops.semantic_prior import (gqa_train_loss,
+                                            semantic_prior_loss)
+from clg_vqa_tpu.train import loop as tl
+from clg_vqa_tpu.train.optim import (adamw_pt, make_optimizer, no_decay_mask,
+                                     warmup_linear_schedule)
+
+
+# ---------------------------------------------------------------------------
+# AdamW: independent numpy replica of the pytorch_transformers update rule
+# (the one the reference trains with; see train/optim.py docstring).
+# ---------------------------------------------------------------------------
+
+def _ref_adamw_step(p, g, m, v, t, lr, b1, b2, eps, wd, correct_bias):
+    m = b1 * m + (1 - b1) * g
+    v = b2 * v + (1 - b2) * g * g
+    denom = np.sqrt(v) + eps
+    step_size = lr * (np.sqrt(1 - b2 ** t) / (1 - b1 ** t) if correct_bias else 1.0)
+    p = p - step_size * m / denom
+    p = p - lr * wd * p
+    return p, m, v
+
+
+@pytest.mark.parametrize("correct_bias", [True, False])
+def test_adamw_matches_reference_rule(correct_bias):
+    rng = np.random.RandomState(0)
+    p0 = rng.randn(4, 3).astype(np.float32)
+    params = {"w": jnp.asarray(p0)}
+    opt = adamw_pt(1e-3, b1=0.9, b2=0.999, eps=1e-6, weight_decay=0.01,
+                   correct_bias=correct_bias)
+    state = opt.init(params)
+
+    p_np, m_np, v_np = p0.copy(), np.zeros_like(p0), np.zeros_like(p0)
+    for t in range(1, 6):
+        g = rng.randn(4, 3).astype(np.float32)
+        updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+        p_np, m_np, v_np = _ref_adamw_step(
+            p_np, g, m_np, v_np, t, 1e-3, 0.9, 0.999, 1e-6, 0.01, correct_bias)
+        np.testing.assert_allclose(np.asarray(params["w"]), p_np,
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_warmup_linear_schedule_shape():
+    s = warmup_linear_schedule(4e-5, warmup_steps=10, total_steps=100)
+    assert float(s(0)) == 0.0                     # first update at factor 0
+    assert np.isclose(float(s(5)), 4e-5 * 0.5)
+    assert np.isclose(float(s(10)), 4e-5)
+    assert np.isclose(float(s(55)), 4e-5 * 0.5)
+    assert float(s(100)) == 0.0
+    assert float(s(150)) == 0.0                   # clamped at 0 past t_total
+
+
+def test_no_decay_mask():
+    cfg = UC2Config(vocab_size=50, hidden_size=16, num_layers=2, num_heads=2,
+                    intermediate_size=32, v_feature_size=8, num_locs=7,
+                    pooler_size=16, clf_hidden_size=16, num_labels=5)
+    params = uc2.init_params(jax.random.key(0), cfg)
+    mask = no_decay_mask(params)
+    assert mask["encoder"]["attn"]["q"]["w"] is True
+    assert mask["encoder"]["attn"]["q"]["b"] is False
+    assert mask["encoder"]["ln1"]["scale"] is False
+    assert mask["embeddings"]["ln"]["bias"] is False
+    assert mask["embeddings"]["word"] is True
+    assert mask["classifier"]["fc1"]["w"] is True
+    assert mask["classifier"]["ln"]["scale"] is False
+
+
+# ---------------------------------------------------------------------------
+# Semantic prior loss vs the reference's torch formula (task_utils.py:415-425)
+# ---------------------------------------------------------------------------
+
+def test_semantic_loss_matches_reference_formula():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(3)
+    B, L, K = 6, 30, 10
+    logits = rng.randn(B, L).astype(np.float32)
+    labels = rng.randint(0, L, B)
+    D = rng.rand(L, L).astype(np.float32)
+    np.fill_diagonal(D, 0)
+    distances = D[labels]           # per-sample rows, as the loader builds
+
+    # reference computation
+    tl_ = torch.from_numpy(logits)
+    p_top_k, idx_top_k = torch.topk(F.softmax(tl_, dim=-1), k=K)
+    sem = p_top_k * torch.from_numpy(distances)[
+        torch.arange(B).unsqueeze(1), idx_top_k]
+    sem_ref = torch.mean(torch.sum(sem, dim=-1), dim=0).item()
+    ce_ref = F.cross_entropy(tl_, torch.from_numpy(labels)).item()
+    loss_ref = ce_ref * L + (10.0 * sem_ref) * L
+
+    sem_ours = float(semantic_prior_loss(jnp.asarray(logits),
+                                         jnp.asarray(labels), jnp.asarray(D),
+                                         top_k=K))
+    loss_ours = float(gqa_train_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                     jnp.asarray(D), semantic_lambda=10.0,
+                                     top_k=K))
+    np.testing.assert_allclose(sem_ours, sem_ref, rtol=1e-5)
+    np.testing.assert_allclose(loss_ours, loss_ref, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Train step: grad-accum equivalence, convergence, multi-chip sharding
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = UC2Config(vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+                    intermediate_size=64, v_feature_size=16, num_locs=7,
+                    pooler_size=32, clf_hidden_size=32, num_labels=8)
+    params = uc2.init_params(jax.random.key(0), cfg)
+    D = jnp.asarray(np.random.RandomState(0).rand(8, 8).astype(np.float32))
+
+    def make_batch(rng, acc, mbs):
+        r = np.random.RandomState(rng)
+        T, R = 6, 4
+        return {
+            "input_ids": jnp.asarray(
+                r.randint(3, 64, (acc, mbs, T)), jnp.int32),
+            "input_mask": jnp.ones((acc, mbs, T), jnp.int32),
+            "features": jnp.asarray(r.randn(acc, mbs, R, 16), jnp.float32),
+            "locs": jnp.asarray(r.rand(acc, mbs, R, 7), jnp.float32),
+            "image_mask": jnp.ones((acc, mbs, R), jnp.int32),
+            "labels": jnp.asarray(r.randint(0, 8, (acc, mbs)), jnp.int32),
+        }
+
+    return cfg, params, D, make_batch
+
+
+def _make_state_and_step(cfg, params, D, *, acc_batch, use_dropout=False,
+                         compute_dtype=None, lr=1e-3):
+    opt = make_optimizer(params, lr, weight_decay=1e-4, clip_norm=1.0)
+    state = tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = tl.make_train_step(uc2.forward, cfg, opt, D, semantic_lambda=10.0,
+                              top_k=4, compute_dtype=compute_dtype,
+                              use_dropout=use_dropout)
+    return state, step
+
+
+def test_grad_accum_equivalence(tiny):
+    """acc=4 x mbs=2 must equal acc=1 x bs=8 (sum of loss/acc grads ==
+    mean-batch grads for equal micro sizes)."""
+    cfg, params, D, make_batch = tiny
+    batch_a = make_batch(1, 4, 2)
+    batch_b = jax.tree.map(lambda x: x.reshape(1, 8, *x.shape[2:]), batch_a)
+
+    state_a, step = _make_state_and_step(cfg, params, D, acc_batch=batch_a)
+    state_b, _ = _make_state_and_step(cfg, params, D, acc_batch=batch_b)
+    rng = jax.random.key(0)
+    sa, ma = jax.jit(step)(state_a, batch_a, rng)
+    sb, mb = jax.jit(step)(state_b, batch_b, rng)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-5)
+    for pa, pb in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_loss_decreases(tiny):
+    cfg, params, D, make_batch = tiny
+    batch = make_batch(2, 1, 16)
+    state, step = _make_state_and_step(cfg, params, D, acc_batch=batch,
+                                       lr=5e-3)
+    step = jax.jit(step)
+    losses = []
+    for i in range(12):
+        state, m = step(state, batch, jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_multichip_sharded_step_matches_single(tiny):
+    """dp=4 x mp=2 over the virtual 8-device CPU mesh: the sharded step must
+    produce the same updated params as the unsharded one (fp32, no dropout)."""
+    from clg_vqa_tpu.parallel import mesh as pm
+    cfg, params, D, make_batch = tiny
+    batch = make_batch(3, 2, 8)
+    state, step = _make_state_and_step(cfg, params, D, acc_batch=batch)
+
+    mesh = pm.make_mesh(n_dp=4, n_mp=2)
+    sharded = tl.shard_train_step(step, mesh, state, batch, donate=False)
+    rng = jax.random.key(0)
+    s1, m1 = jax.jit(step)(state, batch, rng)
+    s2, m2 = sharded(state, batch, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for pa, pb in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-4, atol=1e-5)
