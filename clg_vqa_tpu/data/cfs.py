@@ -1,0 +1,175 @@
+"""CFS — the framework's native region-feature store.
+
+Replaces the reference's pickled-base64-LMDB hop (SURVEY.md §2.4 "LMDB
+converters"; _image_features_reader.py random access with per-item pickle +
+b64 decode) with a flat, mmap-able binary format designed for TPU input
+pipelines:
+
+ - one contiguous file, fixed little-endian layout, zero-copy reads
+   (np.frombuffer over mmap — no pickle, no base64, no per-item allocation)
+ - an id -> offset index loaded once
+ - batch assembly (normalize boxes, area/size locs, optional L2 norm, global
+   feature, fixed-shape padding) runs in native C++ threads
+   (clg_vqa_tpu/native/cfs_gather.cpp via ctypes), replacing the reference's
+   per-sample Python preprocessing hot loop
+   (gqa_dataset_semantic_code_mix.py:564-657).
+
+Layout:
+  header:  magic b"CFS1" | u32 version | u64 n_records | u64 index_offset
+  records: per record —
+           u32 id_len | id bytes | u32 n_boxes | u32 feat_dim |
+           f32 img_w | f32 img_h |
+           f32 features[n_boxes*feat_dim] | f32 boxes[n_boxes*4]
+  index:   u64 offsets[n_records]  (each points at a record's id_len)
+
+Converters from the reference's h5/LMDB formats live in
+clg_vqa_tpu/data/convert_store.py.
+"""
+from __future__ import annotations
+
+import mmap
+import os
+import struct
+
+import numpy as np
+
+from .features import RegionRecord, pad_regions, process_regions
+
+MAGIC = b"CFS1"
+VERSION = 1
+_HDR = struct.Struct("<4sIQQ")
+
+
+class CfsWriter:
+    def __init__(self, path: str):
+        self.path = path
+        self.f = open(path, "wb")
+        self.f.write(_HDR.pack(MAGIC, VERSION, 0, 0))
+        self.offsets: list[int] = []
+
+    def add(self, rec: RegionRecord) -> None:
+        f = self.f
+        self.offsets.append(f.tell())
+        idb = rec.image_id.encode()
+        feats = np.ascontiguousarray(rec.features, np.float32)
+        boxes = np.ascontiguousarray(rec.boxes, np.float32)
+        n, fd = feats.shape
+        assert boxes.shape == (n, 4), (boxes.shape, n)
+        f.write(struct.pack("<I", len(idb)))
+        f.write(idb)
+        f.write(struct.pack("<IIff", n, fd, float(rec.img_w), float(rec.img_h)))
+        f.write(feats.tobytes())
+        f.write(boxes.tobytes())
+
+    def close(self) -> None:
+        f = self.f
+        index_offset = f.tell()
+        f.write(np.asarray(self.offsets, "<u8").tobytes())
+        f.seek(0)
+        f.write(_HDR.pack(MAGIC, VERSION, len(self.offsets), index_offset))
+        f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class CfsReader:
+    """Zero-copy random access by image id or record index."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._file = open(path, "rb")
+        self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        magic, version, n, index_offset = _HDR.unpack_from(self._mm, 0)
+        if magic != MAGIC or version != VERSION:
+            raise ValueError(f"not a CFS v{VERSION} file: {path}")
+        self.n_records = n
+        self.offsets = np.frombuffer(self._mm, "<u8", count=n,
+                                     offset=index_offset)
+        self._id2idx: dict[str, int] | None = None
+
+    def _parse_header(self, off: int):
+        (id_len,) = struct.unpack_from("<I", self._mm, off)
+        ido = off + 4
+        image_id = self._mm[ido:ido + id_len].decode()
+        n, fd, w, h = struct.unpack_from("<IIff", self._mm, ido + id_len)
+        data_off = ido + id_len + 16
+        return image_id, n, fd, w, h, data_off
+
+    @property
+    def id2idx(self) -> dict[str, int]:
+        if self._id2idx is None:
+            self._id2idx = {}
+            for i in range(self.n_records):
+                image_id, *_ = self._parse_header(int(self.offsets[i]))
+                self._id2idx[image_id] = i
+        return self._id2idx
+
+    def keys(self):
+        return list(self.id2idx.keys())
+
+    def get_by_index(self, idx: int) -> RegionRecord:
+        image_id, n, fd, w, h, off = self._parse_header(int(self.offsets[idx]))
+        feats = np.frombuffer(self._mm, "<f4", count=n * fd,
+                              offset=off).reshape(n, fd)
+        boxes = np.frombuffer(self._mm, "<f4", count=n * 4,
+                              offset=off + n * fd * 4).reshape(n, 4)
+        return RegionRecord(image_id=image_id, features=feats, boxes=boxes,
+                            img_w=w, img_h=h)
+
+    def get(self, image_id) -> RegionRecord:
+        return self.get_by_index(self.id2idx[str(image_id)])
+
+    def close(self):
+        self._mm.close()
+        self._file.close()
+
+    # -- batched native assembly ------------------------------------------
+
+    def gather(self, indices, *, max_regions: int, num_locs: int = 5,
+               norm_embeddings: bool = False,
+               add_global_imgfeat: str | None = None,
+               native: bool = True):
+        """Assemble a fixed-shape batch: returns
+        (features [B, R', D], locs [B, R', num_locs], mask [B, R'])
+        where R' = max_regions (+1 with a global feature).
+
+        Uses the C++ gather kernel when available; falls back to the Python
+        path (bit-identical; tested against each other).
+        """
+        indices = np.asarray(indices, np.int64)
+        if native:
+            from ..native import cfs_native
+            lib = cfs_native.load()
+            if lib is not None:
+                return cfs_native.gather(
+                    lib, self, indices, max_regions=max_regions,
+                    num_locs=num_locs, norm_embeddings=norm_embeddings,
+                    add_global_imgfeat=add_global_imgfeat)
+        return self._gather_py(indices, max_regions, num_locs,
+                               norm_embeddings, add_global_imgfeat)
+
+    def _gather_py(self, indices, max_regions, num_locs, norm_embeddings,
+                   add_global_imgfeat):
+        B = len(indices)
+        Rp = max_regions + int(add_global_imgfeat is not None)
+        fd = None
+        feats_out = None
+        locs_out = np.zeros((B, Rp, num_locs), np.float32)
+        mask_out = np.zeros((B, Rp), np.int32)
+        for i, idx in enumerate(indices):
+            rec = self.get_by_index(int(idx))
+            if feats_out is None:
+                fd = rec.features.shape[1]
+                feats_out = np.zeros((B, Rp, fd), np.float32)
+            f, n, l = process_regions(
+                rec.features, rec.boxes, rec.img_w, rec.img_h,
+                num_locs=num_locs, norm_embeddings=norm_embeddings,
+                add_global_imgfeat=add_global_imgfeat)
+            pf, pl, pm = pad_regions(f, l, n, Rp, feat_dim=fd,
+                                     num_locs=num_locs)
+            feats_out[i], locs_out[i], mask_out[i] = pf, pl, pm
+        return feats_out, locs_out, mask_out

@@ -1,0 +1,128 @@
+"""Region-feature processing + storage readers.
+
+``process_regions`` reproduces the box/feature normalization used by every
+reference data path (volta/volta/datasets/_image_features_reader.py:141-205
+and gqa_dataset_semantic_code_mix.py:575-615): normalize boxes to [0,1], add
+relative-area as the last loc, optional width/height locs (num_locs=7),
+optional L2 normalization of features and locs, optional global mean feature
+prepended/appended.
+
+Storage: the reference streams pickled+base64 LMDB records. This machine has
+no LMDB; the framework's native store is CFS (see clg_vqa_tpu/data/cfs.py) —
+a flat mmap-able binary format written for sequential device prefetch — and
+an LMDB reader is provided behind an import gate for byte-compat with
+reference-produced data.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class RegionRecord:
+    """One image's detector output (matches the h5/LMDB record schema of
+    features_extraction/detectron2_proposal_maxnms.py:212-220)."""
+    image_id: str
+    features: np.ndarray      # [N, feat_dim] float32
+    boxes: np.ndarray         # [N, 4] float32 pixel xyxy
+    img_w: float
+    img_h: float
+    obj_id: np.ndarray | None = None
+    obj_conf: np.ndarray | None = None
+    attr_id: np.ndarray | None = None
+    attr_conf: np.ndarray | None = None
+
+
+def process_regions(features: np.ndarray, boxes: np.ndarray, img_w: float,
+                    img_h: float, *, num_locs: int = 5,
+                    norm_embeddings: bool = False,
+                    add_global_imgfeat: str | None = None):
+    """Returns (features [N(+1), D], num_boxes, locs [N(+1), num_locs])."""
+    n = boxes.shape[0]
+    locs = np.zeros((n, num_locs), np.float32)
+    locs[:, :4] = boxes
+    if num_locs >= 5:
+        locs[:, -1] = ((locs[:, 3] - locs[:, 1]) * (locs[:, 2] - locs[:, 0])
+                       / (float(img_w) * float(img_h)))
+    locs[:, 0] /= float(img_w)
+    locs[:, 1] /= float(img_h)
+    locs[:, 2] /= float(img_w)
+    locs[:, 3] /= float(img_h)
+    if num_locs > 5:
+        locs[:, 4] = locs[:, 2] - locs[:, 0]
+        locs[:, 5] = locs[:, 3] - locs[:, 1]
+
+    features = np.asarray(features, np.float32)
+    if norm_embeddings:
+        features = features / np.maximum(
+            np.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
+        locs = locs / np.linalg.norm(locs, 2, 1, keepdims=True)
+
+    num_boxes = n
+    if add_global_imgfeat is not None:
+        g_feat = features.sum(0, keepdims=True) / max(n, 1)
+        g_loc = np.array([[0, 0, 1, 1] + [1] * (num_locs - 4)], np.float32)
+        if add_global_imgfeat == "first":
+            features = np.concatenate([g_feat, features], 0)
+            locs = np.concatenate([g_loc, locs], 0)
+        elif add_global_imgfeat == "last":
+            features = np.concatenate([features, g_feat], 0)
+            locs = np.concatenate([locs, g_loc], 0)
+        num_boxes += 1
+    return features, num_boxes, locs
+
+
+def pad_regions(features: np.ndarray, locs: np.ndarray, num_boxes: int,
+                max_regions: int, feat_dim: int = 2048, num_locs: int = 5):
+    """Fixed-shape padding (gqa_dataset_semantic_code_mix.py:213-226)."""
+    n = min(num_boxes, max_regions)
+    f = np.zeros((max_regions, feat_dim), np.float32)
+    l = np.zeros((max_regions, num_locs), np.float32)
+    m = np.zeros((max_regions,), np.int32)
+    f[:n] = features[:n]
+    l[:n] = locs[:n]
+    m[:n] = 1
+    return f, l, m
+
+
+# ---------------------------------------------------------------------------
+# Readers
+# ---------------------------------------------------------------------------
+
+class LmdbFeatureReader:
+    """Random-access reader for reference-produced per-image LMDBs
+    (pickled records keyed by image id, 'keys' entry listing ids;
+    _image_features_reader.py:19-208). Requires py-lmdb. Uses an O(1) id->
+    index dict instead of the reference's linear list scan (line 75)."""
+
+    def __init__(self, path: str, *, feat_dim: int = 2048):
+        import lmdb  # gated: not present in every environment
+        import pickle
+        self._pickle = pickle
+        self.env = lmdb.open(path, max_readers=16, readonly=True, lock=False,
+                             readahead=False, meminit=False)
+        with self.env.begin(write=False) as txn:
+            self.image_ids = pickle.loads(txn.get(b"keys"))
+        self.feat_dim = feat_dim
+
+    def keys(self):
+        return self.image_ids
+
+    def get(self, image_id) -> RegionRecord:
+        import base64
+        key = str(image_id).encode() if not isinstance(image_id, bytes) else image_id
+        with self.env.begin(write=False) as txn:
+            item = self._pickle.loads(txn.get(key))
+        try:
+            feats = np.frombuffer(base64.b64decode(item["features"]),
+                                  np.float32).reshape(-1, self.feat_dim)
+            boxes = np.frombuffer(base64.b64decode(item["boxes"]),
+                                  np.float32).reshape(-1, 4)
+        except Exception:
+            feats = np.asarray(item["features"]).reshape(-1, self.feat_dim)
+            boxes = np.asarray(item["boxes"]).reshape(-1, 4)
+        return RegionRecord(
+            image_id=str(image_id), features=feats, boxes=boxes,
+            img_w=float(item["img_w"]), img_h=float(item["img_h"]))

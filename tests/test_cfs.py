@@ -1,0 +1,66 @@
+"""CFS feature store: roundtrip, parity between native C++ gather and the
+Python path, and parity with the reference's region-processing semantics."""
+import numpy as np
+import pytest
+
+from clg_vqa_tpu.data.cfs import CfsReader, CfsWriter
+from clg_vqa_tpu.data.features import RegionRecord, process_regions
+
+
+def make_store(tmp_path, n_images=6, feat_dim=64, seed=0):
+    r = np.random.RandomState(seed)
+    path = str(tmp_path / "test.cfs")
+    recs = []
+    with CfsWriter(path) as w:
+        for i in range(n_images):
+            n = r.randint(3, 10)
+            w_, h_ = r.randint(200, 800), r.randint(200, 800)
+            x1 = r.rand(n) * w_ * 0.8; y1 = r.rand(n) * h_ * 0.8
+            boxes = np.stack([x1, y1, x1 + r.rand(n) * (w_ - x1),
+                              y1 + r.rand(n) * (h_ - y1)], 1).astype(np.float32)
+            rec = RegionRecord(image_id=f"img{i}",
+                               features=r.randn(n, feat_dim).astype(np.float32),
+                               boxes=boxes, img_w=float(w_), img_h=float(h_))
+            recs.append(rec)
+            w.add(rec)
+    return path, recs
+
+
+def test_roundtrip(tmp_path):
+    path, recs = make_store(tmp_path)
+    rd = CfsReader(path)
+    assert rd.n_records == len(recs)
+    for rec in recs:
+        got = rd.get(rec.image_id)
+        np.testing.assert_array_equal(got.features, rec.features)
+        np.testing.assert_array_equal(got.boxes, rec.boxes)
+        assert (got.img_w, got.img_h) == (rec.img_w, rec.img_h)
+
+
+@pytest.mark.parametrize("num_locs,norm,glob", [
+    (5, False, None), (7, False, None), (5, True, None),
+    (5, False, "first"), (7, True, "last"),
+])
+def test_native_gather_matches_python(tmp_path, num_locs, norm, glob):
+    path, recs = make_store(tmp_path, n_images=8)
+    rd = CfsReader(path)
+    idx = np.array([3, 0, 7, 1, 3], np.int64)
+    f_py, l_py, m_py = rd._gather_py(idx, 6, num_locs, norm, glob)
+    f_c, l_c, m_c = rd.gather(idx, max_regions=6, num_locs=num_locs,
+                              norm_embeddings=norm, add_global_imgfeat=glob)
+    np.testing.assert_array_equal(m_c, m_py)
+    np.testing.assert_allclose(l_c, l_py, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(f_c, f_py, rtol=1e-5, atol=1e-6)
+
+
+def test_process_regions_semantics():
+    """Locs layout matches _image_features_reader.py:141-205: normalized
+    xyxy, area last, w/h at 4,5 when num_locs=7."""
+    feats = np.ones((2, 8), np.float32)
+    boxes = np.array([[10, 20, 110, 220], [0, 0, 100, 100]], np.float32)
+    f, n, locs = process_regions(feats, boxes, 200.0, 400.0, num_locs=7)
+    assert n == 2
+    np.testing.assert_allclose(locs[0, :4], [0.05, 0.05, 0.55, 0.55])
+    np.testing.assert_allclose(locs[0, 4], 0.5)      # w
+    np.testing.assert_allclose(locs[0, 5], 0.5)      # h
+    np.testing.assert_allclose(locs[0, 6], 0.25)     # area
