@@ -1,0 +1,122 @@
+"""CLI: python -m clg_vqa_tpu.cli {train,prune,sft,eval,score,convert} ...
+
+Mirrors the reference entry points (train_task.py, train_task_prunning.py,
+train_task_sft.py, eval_task.py, scripts/GQA_score.py, conversions/) with the
+TPU stack underneath."""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import common as C
+
+
+def _train_like(args, mode: str):
+    import jax.numpy as jnp
+    from ..data.pipeline import TrainPipeline
+    from ..train.driver import FinetuneRunner
+
+    cfg, task_cfg, optim_cfg = C.build_configs(args)
+    mod, params = C.build_model(args, cfg)
+    code_mixer = C.build_code_mixer(task_cfg, args.seed) if mode != "eval" \
+        else None
+    feat_train = args.features_path or task_cfg.features_path_train
+    feat_val = task_cfg.features_path_val or feat_train
+    train_ds = C.build_dataset(args, cfg, task_cfg, task_cfg.train_split,
+                               feat_train, code_mixer=code_mixer)
+    val_ds = C.build_dataset(args, cfg, task_cfg, task_cfg.val_split,
+                             feat_val)
+    micro_bs = task_cfg.batch_size // optim_cfg.grad_acc_steps
+    pipe = TrainPipeline(train_ds, micro_batch_size=micro_bs,
+                         grad_acc_steps=optim_cfg.grad_acc_steps,
+                         seed=args.seed)
+    D = C.build_distance_matrix(task_cfg, task_cfg.num_labels)
+    runner = FinetuneRunner(
+        mod.forward, cfg, params, pipe, val_ds, D, task_cfg=task_cfg,
+        optim_cfg=optim_cfg, output_dir=args.output_dir,
+        model_name="m3p" if args.is_m3p else "uc2",
+        compute_dtype=None if args.fp32 else jnp.bfloat16, seed=args.seed)
+
+    if mode == "train":
+        best = runner.finetune(resume=args.resume)
+        print(f"Best validation score: {100*best:.3f}")
+    elif mode == "prune":
+        res = runner.imp_prune(fraction=args.prune_fraction)
+        print(f"IMP best epoch {res['best_epoch']} "
+              f"score {100*res['best_score']:.3f}; history: {res['history']}")
+    elif mode == "sft":
+        best = runner.sft(args.mask_file)
+        print(f"SFT best validation score: {100*best:.3f}")
+
+
+def cmd_eval(args):
+    import jax.numpy as jnp
+    from ..data.gqa import load_answer_vocab
+    from ..eval.runner import run_eval
+
+    cfg, task_cfg, _ = C.build_configs(args)
+    mod, params = C.build_model(args, cfg)
+    ds = C.build_dataset(args, cfg, task_cfg, args.split,
+                         args.features_path or task_cfg.features_path_train,
+                         annotations_jsonpath=args.annotations_jsonpath)
+    _, label2ans = load_answer_vocab(task_cfg.dataroot)
+    out = f"{args.output_dir}/{args.split}_result.json"
+    res = run_eval(mod.forward, params, cfg, ds, label2ans,
+                   batch_size=task_cfg.eval_batch_size,
+                   compute_dtype=None if args.fp32 else jnp.bfloat16,
+                   out_path=out, split=args.split)
+    acc = f", accuracy {100*res['accuracy']:.2f}" if res["accuracy"] is not None else ""
+    print(f"wrote {out}: {res['n']} predictions at "
+          f"{res['qa_per_sec']:.0f} QA/s{acc}")
+
+
+def cmd_score(args):
+    from ..eval.scorer import evaluate_files
+    print(100 * evaluate_files(args.preds_file, args.truth_file))
+
+
+def cmd_convert(args):
+    """Torch checkpoint -> orbax params dir (the conversions/ equivalent)."""
+    from ..train import checkpoints as ckpt
+    cfg, task_cfg, _ = C.build_configs(args)
+    params = C.load_pretrained(args.from_pretrained, cfg, args.is_m3p)
+    ckpt.save_params(args.output_dir, args.name, params)
+    print(f"saved {args.output_dir}/{args.name}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="clg_vqa_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for mode in ("train", "prune", "sft"):
+        sp = sub.add_parser(mode)
+        C.add_common_args(sp)
+        C.add_train_args(sp)
+        if mode == "prune":
+            sp.add_argument("--prune_fraction", type=float, default=0.1)
+        if mode == "sft":
+            sp.add_argument("--mask_file", required=True)
+        sp.set_defaults(fn=lambda a, m=mode: _train_like(a, m))
+
+    sp = sub.add_parser("eval")
+    C.add_common_args(sp)
+    sp.add_argument("--split", default="test")
+    sp.add_argument("--annotations_jsonpath", default="")
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("score")
+    sp.add_argument("--preds_file", required=True)
+    sp.add_argument("--truth_file", required=True)
+    sp.set_defaults(fn=cmd_score)
+
+    sp = sub.add_parser("convert")
+    C.add_common_args(sp)
+    sp.add_argument("--name", default="params_pretrained")
+    sp.set_defaults(fn=cmd_convert)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

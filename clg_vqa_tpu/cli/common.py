@@ -1,0 +1,162 @@
+"""Shared CLI construction: config ingest (JSON model cfg + YAML task cfg +
+flag overrides, the reference's three-tier scheme), model/dataset/pipeline
+assembly."""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..config import M3PConfig, OptimConfig, TaskConfig, UC2Config
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--config_file", required=True,
+                   help="model JSON (uc2_base.json / m3p_base.json layout)")
+    p.add_argument("--tasks_config_file", required=True,
+                   help="task YAML (TASK15 layout)")
+    p.add_argument("--task", default="15")
+    p.add_argument("--is_m3p", action="store_true")
+    p.add_argument("--from_pretrained", default="",
+                   help="torch .bin / orbax dir with pretrained weights; "
+                        "empty = random init")
+    p.add_argument("--output_dir", default="out")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tokenizer", default="hash",
+                   help="'hash' or a local HF tokenizer path "
+                        "(xlm-roberta-base for production parity)")
+    p.add_argument("--features_path", default="",
+                   help="override the task config's feature store path "
+                        "(.cfs or LMDB dir)")
+    p.add_argument("--dataroot", default="", help="override dataroot")
+    p.add_argument("--fp32", action="store_true",
+                   help="disable bf16 compute (parity mode)")
+    return p
+
+
+def add_train_args(p: argparse.ArgumentParser):
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--num_epoch", type=int, default=None)
+    p.add_argument("--grad_acc_steps", type=int, default=4)
+    p.add_argument("--warmup_proportion", type=float, default=0.1)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--clip_grad_norm", type=float, default=1.0)
+    p.add_argument("--adam_epsilon", type=float, default=1e-6)
+    p.add_argument("--adam_betas", type=float, nargs=2, default=(0.9, 0.999))
+    p.add_argument("--adam_correct_bias", action="store_true", default=True)
+    p.add_argument("--code_mixing", action="store_true", default=None)
+    p.add_argument("--resume", action="store_true")
+    return p
+
+
+def build_configs(args):
+    task_cfg = TaskConfig.from_yaml(args.tasks_config_file, args.task)
+    overrides = {}
+    if getattr(args, "lr", None):
+        overrides["lr"] = args.lr
+    if getattr(args, "num_epoch", None):
+        overrides["num_epoch"] = args.num_epoch
+    if getattr(args, "code_mixing", None) is not None:
+        overrides["code_mixing"] = args.code_mixing
+    if getattr(args, "dataroot", ""):
+        overrides["dataroot"] = args.dataroot
+    if overrides:
+        import dataclasses
+        task_cfg = dataclasses.replace(task_cfg, **overrides)
+
+    if args.is_m3p:
+        cfg = M3PConfig.from_json(args.config_file,
+                                  num_labels=task_cfg.num_labels)
+    else:
+        cfg = UC2Config.from_json(args.config_file,
+                                  num_labels=task_cfg.num_labels)
+
+    optim_cfg = OptimConfig(
+        lr=task_cfg.lr,
+        adam_betas=tuple(getattr(args, "adam_betas", (0.9, 0.999))),
+        adam_epsilon=getattr(args, "adam_epsilon", 1e-6),
+        correct_bias=getattr(args, "adam_correct_bias", True),
+        weight_decay=getattr(args, "weight_decay", 1e-4),
+        clip_grad_norm=getattr(args, "clip_grad_norm", 1.0),
+        warmup_proportion=getattr(args, "warmup_proportion", 0.1),
+        grad_acc_steps=getattr(args, "grad_acc_steps", 4),
+    )
+    return cfg, task_cfg, optim_cfg
+
+
+def build_model(args, cfg):
+    import jax
+    from ..models import m3p, uc2
+    mod = m3p if args.is_m3p else uc2
+    if args.from_pretrained:
+        params = load_pretrained(args.from_pretrained, cfg, args.is_m3p)
+    else:
+        params = mod.init_params(jax.random.key(args.seed), cfg)
+    return mod, params
+
+
+def load_pretrained(path: str, cfg, is_m3p: bool):
+    """torch .bin (VOLTA names, incl. HF-remap pipeline) or orbax dir."""
+    from ..utils.convert import (normalize_volta_keys, volta_m3p_to_pytree,
+                                 volta_uc2_to_pytree)
+    if os.path.isdir(path):
+        from ..train import checkpoints as ckpt
+        return ckpt.load_params(os.path.dirname(path) or ".",
+                                os.path.basename(path))
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    sd = normalize_volta_keys(sd)
+    conv = volta_m3p_to_pytree if is_m3p else volta_uc2_to_pytree
+    return conv(sd, cfg)
+
+
+def build_tokenizer(args):
+    from ..data.tokenizer import HashTokenizer, HFTokenizer
+    if args.tokenizer == "hash":
+        return HashTokenizer()
+    return HFTokenizer(args.tokenizer)
+
+
+def open_feature_store(path: str):
+    from ..data.cfs import CfsReader
+    from ..data.features import LmdbFeatureReader
+    if path.endswith(".cfs"):
+        return CfsReader(path)
+    return LmdbFeatureReader(path)
+
+
+def build_distance_matrix(task_cfg, num_labels: int):
+    from ..ops.semantic_prior import (build_distance_matrix_embedding,
+                                      build_distance_matrix_wordnet)
+    p = task_cfg.semantic_dict_path
+    if not p or not os.path.exists(p):
+        return None
+    if "wn" in os.path.basename(p) or "semantic_index" in os.path.basename(p):
+        return build_distance_matrix_wordnet(p, num_labels)
+    return build_distance_matrix_embedding(p, num_labels)
+
+
+def build_code_mixer(task_cfg, seed: int):
+    if not task_cfg.code_mixing:
+        return None
+    from ..data.code_mix import CodeMixer, load_muse_dicts
+    dicts = load_muse_dicts(task_cfg.dictionary_path)
+    return CodeMixer(dicts, ratio=task_cfg.ratio, cross=task_cfg.cross,
+                     seed=seed)
+
+
+def build_dataset(args, cfg, task_cfg, split: str, features_path: str,
+                  annotations_jsonpath: str = "", code_mixer=None):
+    from ..data.gqa import GQADataset, load_entries
+    entries = load_entries(task_cfg.dataroot, split, annotations_jsonpath)
+    store = open_feature_store(features_path)
+    tok = build_tokenizer(args)
+    return GQADataset(
+        entries, store, tok, max_seq_length=task_cfg.max_seq_length,
+        max_region_num=task_cfg.max_region_num, num_locs=cfg.num_locs,
+        num_labels=task_cfg.num_labels,
+        add_global_imgfeat=getattr(cfg, "add_global_imgfeat", None),
+        norm_embeddings=getattr(cfg, "norm_embeddings", False),
+        code_mixer=code_mixer)

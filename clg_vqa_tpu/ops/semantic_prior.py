@@ -59,7 +59,7 @@ def semantic_prior_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     """mean_b sum_{k in top10} softmax(logits)_k * D[label_b, k]
     (task_utils.py:418-421). Returns a scalar."""
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    p_top, idx_top = jax.lax.top_k(probs, top_k)
+    p_top, idx_top = jax.lax.top_k(probs, min(top_k, logits.shape[-1]))
     rows = distance_matrix[labels]                      # [B, num_labels]
     d_top = jnp.take_along_axis(rows, idx_top, axis=-1)  # [B, k]
     return jnp.mean(jnp.sum(p_top * d_top, axis=-1))

@@ -1,0 +1,90 @@
+"""Checkpoint save/resume — the reference's train_utils.py:351-510 flow with
+orbax-backed pytree storage.
+
+Reference artifacts and our equivalents:
+  pytorch_model_{ep}.bin     -> {dir}/params_ep{ep}/          (params only)
+  pytorch_model_best.bin     -> {dir}/params_best/
+  pytorch_ckpt_latest.tar    -> {dir}/state_latest/ + meta.json  (params,
+        optimizer state, step, epoch, best score, metric-logger state)
+  mask_lt{ep}.pt / mask_best.pt -> masks saved by train/pruning.py (npz)
+
+The reference additionally exports a torch-loadable state dict; we provide
+that via utils/convert.pytree_to_volta_* + export_torch_bin so reference
+tooling can consume fine-tuned weights.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .loop import TrainState
+
+
+def _path(d: str, name: str) -> str:
+    return os.path.abspath(os.path.join(d, name))
+
+
+def save_params(ckpt_dir: str, name: str, params: Any) -> None:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with ocp.PyTreeCheckpointer() as c:
+        c.save(_path(ckpt_dir, name), params, force=True)
+
+
+def load_params(ckpt_dir: str, name: str, like: Any | None = None) -> Any:
+    with ocp.PyTreeCheckpointer() as c:
+        if like is not None:
+            return c.restore(_path(ckpt_dir, name),
+                             args=ocp.args.PyTreeRestore(like))
+        return c.restore(_path(ckpt_dir, name))
+
+
+def save_state(ckpt_dir: str, state: TrainState, *, epoch: int,
+               best_score: float, extra: dict | None = None) -> None:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with ocp.PyTreeCheckpointer() as c:
+        c.save(_path(ckpt_dir, "state_latest"),
+               {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}, force=True)
+    meta = {"epoch": epoch, "best_score": best_score,
+            "step": int(state.step), **(extra or {})}
+    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def resume_state(ckpt_dir: str, like: TrainState) -> tuple[TrainState, dict]:
+    """Restore (state, meta). Raises FileNotFoundError if absent."""
+    meta_path = os.path.join(ckpt_dir, "meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(meta_path)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    with ocp.PyTreeCheckpointer() as c:
+        restored = c.restore(
+            _path(ckpt_dir, "state_latest"),
+            args=ocp.args.PyTreeRestore(
+                {"params": like.params, "opt_state": like.opt_state,
+                 "step": like.step}))
+    state = TrainState(params=restored["params"],
+                       opt_state=restored["opt_state"],
+                       step=restored["step"])
+    return state, meta
+
+
+def export_torch_bin(path: str, params: Any, model: str = "uc2",
+                     task_key: str = "TASK15") -> None:
+    """Write a torch-loadable .bin with VOLTA parameter names so reference
+    tooling (eval_task.py etc.) can consume our fine-tuned weights."""
+    from ..utils.convert import pytree_to_volta_m3p, pytree_to_volta_uc2
+    to_sd = pytree_to_volta_uc2 if model == "uc2" else pytree_to_volta_m3p
+    sd = to_sd(jax.tree.map(np.asarray, params), task_key)
+    try:
+        import torch
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()}, path)
+    except ImportError:
+        np.savez_compressed(path + ".npz", **sd)

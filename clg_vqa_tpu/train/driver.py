@@ -1,0 +1,177 @@
+"""High-level fine-tuning driver — the reference's entry-point flows
+(train_task.py:141-389, train_task_prunning.py:548-877,
+train_task_sft.py:331-612) orchestrated over the jitted step functions.
+
+Three recipes:
+  finetune()  — GQA fine-tune with semantic prior (+ CDM if the task config
+                enables code_mixing); per-epoch val, best-checkpoint keeping.
+  imp_prune() — per-epoch: train -> global L1 prune 10% of survivors ->
+                eval -> save mask -> rewind weights to theta_0 and rebuild
+                optimizer/schedule from scratch.
+  sft()       — load mask_best, zero masked weights, train with masked
+                gradients; exports collapsed weights.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import OptimConfig, TaskConfig
+from ..utils.logging import MetricsLogger
+from . import checkpoints as ckpt
+from . import pruning as pr
+from .loop import TrainState, make_eval_step, make_train_step
+from .optim import make_optimizer, warmup_linear_schedule
+
+
+class FinetuneRunner:
+    def __init__(self, model_forward: Callable, cfg, params0: Any,
+                 train_pipeline, val_dataset, distance_matrix, *,
+                 task_cfg: TaskConfig, optim_cfg: OptimConfig,
+                 output_dir: str, model_name: str = "uc2",
+                 compute_dtype=jnp.bfloat16, seed: int = 0,
+                 eval_batch_size: int | None = None):
+        self.fwd = model_forward
+        self.cfg = cfg
+        self.params0 = params0
+        self.pipe = train_pipeline
+        self.val_ds = val_dataset
+        self.D = (jnp.asarray(distance_matrix)
+                  if distance_matrix is not None else
+                  jnp.zeros((cfg.num_labels, cfg.num_labels), jnp.float32))
+        self.task_cfg = task_cfg
+        self.optim_cfg = optim_cfg
+        self.out = output_dir
+        self.model_name = model_name
+        self.compute_dtype = compute_dtype
+        self.seed = seed
+        self.eval_bs = eval_batch_size or task_cfg.eval_batch_size
+        os.makedirs(output_dir, exist_ok=True)
+        self.logger = MetricsLogger(output_dir, task_cfg.name)
+        self.eval_step = jax.jit(make_eval_step(
+            model_forward, cfg, compute_dtype=compute_dtype))
+
+    # -- plumbing ---------------------------------------------------------
+
+    def _total_steps(self) -> int:
+        return self.pipe.steps_per_epoch() * self.task_cfg.num_epoch
+
+    def _build_opt(self):
+        oc = self.optim_cfg
+        total = max(self._total_steps(), 1)
+        warmup = int(oc.warmup_proportion * total)
+        sched = warmup_linear_schedule(self.task_cfg.lr, warmup, total) \
+            if oc.lr_scheduler == "warmup_linear" else self.task_cfg.lr
+        return make_optimizer(self.params0, sched, b1=oc.adam_betas[0],
+                              b2=oc.adam_betas[1], eps=oc.adam_epsilon,
+                              weight_decay=oc.weight_decay,
+                              correct_bias=oc.correct_bias,
+                              clip_norm=oc.clip_grad_norm)
+
+    def _make_step(self, opt, grad_mask=None):
+        return jax.jit(make_train_step(
+            self.fwd, self.cfg, opt, self.D,
+            semantic_lambda=self.task_cfg.semantic_lambda,
+            top_k=self.task_cfg.semantic_top_k,
+            compute_dtype=self.compute_dtype, grad_mask=grad_mask),
+            donate_argnums=(0,))
+
+    def evaluate(self, params, epoch: int) -> float:
+        if self.val_ds is None:
+            return 0.0
+        for b in self.val_ds.iter_batches(self.eval_bs):
+            b.pop("question_id", None)
+            b.pop("has_label", None)
+            m = self.eval_step(params, jax.device_put(
+                {k: jnp.asarray(v) for k, v in b.items()}))
+            self.logger.step_val(float(m["loss"]), float(m["correct"]),
+                                 float(m["count"]))
+        return self.logger.show_val(epoch)
+
+    def _train_epoch(self, state, step_fn, epoch, *, log_every=20):
+        rng = jax.random.key(self.seed * 1000 + epoch)
+        for i, batch in enumerate(self.pipe.epoch(epoch)):
+            state, m = step_fn(state, batch, jax.random.fold_in(rng, i))
+            self.logger.step_train(epoch, float(m["loss"]),
+                                   float(m["score"]), 0.0)
+            if log_every and (i + 1) % log_every == 0:
+                self.logger.show_train(epoch)
+        self.logger.show_train(epoch)
+        return state
+
+    # -- recipes ----------------------------------------------------------
+
+    def _fresh_theta0(self):
+        # copy: the jitted step donates its input state, which would otherwise
+        # consume the shared theta_0 buffers needed by rewind/other recipes
+        return jax.tree.map(jnp.array, self.params0)
+
+    def finetune(self, *, resume: bool = False) -> float:
+        opt = self._build_opt()
+        step_fn = self._make_step(opt)
+        params = self._fresh_theta0()
+        state = TrainState(params, opt.init(params),
+                           jnp.zeros((), jnp.int32))
+        start_epoch, best = 0, -1.0
+        if resume:
+            try:
+                state, meta = ckpt.resume_state(self.out, state)
+                start_epoch, best = meta["epoch"] + 1, meta["best_score"]
+            except FileNotFoundError:
+                pass
+        for epoch in range(start_epoch, self.task_cfg.num_epoch):
+            state = self._train_epoch(state, step_fn, epoch)
+            score = self.evaluate(state.params, epoch)
+            if score > best:
+                best = score
+                ckpt.save_params(self.out, "params_best", state.params)
+            ckpt.save_state(self.out, state, epoch=epoch, best_score=best)
+        return best
+
+    def imp_prune(self, *, fraction: float = 0.1) -> dict:
+        mask = pr.init_mask(self.params0, self.model_name)
+        best, best_epoch = -1.0, -1
+        history = []
+        for epoch in range(self.task_cfg.num_epoch):
+            opt = self._build_opt()          # rebuilt each round (791-866)
+            step_fn = self._make_step(opt, grad_mask=pr.grad_mask_tree(mask))
+            params = pr.apply_mask(self._fresh_theta0(), mask)
+            state = TrainState(params, opt.init(params),
+                               jnp.zeros((), jnp.int32))
+            state = self._train_epoch(state, step_fn, epoch)
+            mask = pr.imp_prune_step(
+                jax.tree.map(np.asarray, state.params), mask, fraction)
+            sp = pr.sparsity(mask)
+            score = self.evaluate(pr.apply_mask(state.params, mask), epoch)
+            history.append({"epoch": epoch, "sparsity": sp, "score": score})
+            pr.save_mask(os.path.join(self.out, f"mask_lt{epoch}.npz"), mask)
+            if score > best:
+                best, best_epoch = score, epoch
+                pr.save_mask(os.path.join(self.out, "mask_best.npz"), mask)
+            # rewind: next round restarts from theta_0 (mask persists)
+        return {"best_score": best, "best_epoch": best_epoch,
+                "history": history}
+
+    def sft(self, mask_path: str) -> float:
+        mask = pr.load_mask(mask_path, self.params0, self.model_name)
+        params = pr.apply_mask(self._fresh_theta0(), mask)
+        opt = self._build_opt()
+        step_fn = self._make_step(opt, grad_mask=pr.grad_mask_tree(mask))
+        state = TrainState(params, opt.init(params),
+                           jnp.zeros((), jnp.int32))
+        best = -1.0
+        for epoch in range(self.task_cfg.num_epoch):
+            state = self._train_epoch(state, step_fn, epoch)
+            score = self.evaluate(state.params, epoch)
+            if score > best:
+                best = score
+                ckpt.save_params(self.out, "params_best", state.params)
+                ckpt.export_torch_bin(
+                    os.path.join(self.out, "model_best_sft.bin"),
+                    state.params, self.model_name)
+            ckpt.save_state(self.out, state, epoch=epoch, best_score=best)
+        return best

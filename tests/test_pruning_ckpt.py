@@ -1,0 +1,150 @@
+"""IMP pruning semantics (compounding schedule vs torch), SFT gradient
+masking, and checkpoint save/resume roundtrips."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clg_vqa_tpu.config import UC2Config
+from clg_vqa_tpu.models import uc2
+from clg_vqa_tpu.train import checkpoints as ckpt
+from clg_vqa_tpu.train import loop as tl
+from clg_vqa_tpu.train import pruning as pr
+from clg_vqa_tpu.train.optim import make_optimizer
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = UC2Config(vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+                    intermediate_size=64, v_feature_size=16, num_locs=7,
+                    pooler_size=32, clf_hidden_size=32, num_labels=8)
+    params = uc2.init_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def test_imp_compounding_schedule(tiny):
+    """5 rounds of 10% must hit the torch-verified compounding points
+    (10 / 19 / 27.1 / 34.39 / 40.95% of the prunable set)."""
+    _, params = tiny
+    mask = pr.init_mask(params)
+    assert pr.sparsity(mask) == 0.0
+    expect = [10.0, 19.0, 27.1, 34.39, 40.95]
+    for e in expect:
+        mask = pr.imp_prune_step(params, mask, 0.1)
+        assert abs(pr.sparsity(mask) - e) < 0.15, (pr.sparsity(mask), e)
+
+
+def test_imp_prunes_smallest_globally(tiny):
+    _, params = tiny
+    mask = pr.imp_prune_step(params, pr.init_mask(params), 0.1)
+    # every zeroed weight must be <= every surviving weight in |.| (global)
+    kept_min = np.inf
+    killed_max = -np.inf
+    for (pw, w), (_, m) in zip(pr._walk(params), pr._walk(mask)):
+        if m is None:
+            continue
+        w = np.abs(np.asarray(w))
+        kept = w[np.asarray(m) > 0]
+        killed = w[np.asarray(m) == 0]
+        if kept.size:
+            kept_min = min(kept_min, kept.min())
+        if killed.size:
+            killed_max = max(killed_max, killed.max())
+    assert killed_max <= kept_min + 1e-12
+
+
+def test_mask_save_load_roundtrip(tiny, tmp_path):
+    _, params = tiny
+    mask = pr.imp_prune_step(params, pr.init_mask(params), 0.2)
+    p = str(tmp_path / "mask.npz")
+    pr.save_mask(p, mask)
+    mask2 = pr.load_mask(p, params)
+    for (_, a), (_, b) in zip(pr._walk(mask), pr._walk(mask2)):
+        if a is None:
+            assert b is None
+        else:
+            np.testing.assert_array_equal(a, b)
+
+
+def test_sft_masked_weights_stay_zero(tiny):
+    """SFT: masked weights start at 0 and remain exactly 0 through training
+    steps (CustomFromMask parity: no grad, no decay drift)."""
+    cfg, params0 = tiny
+    mask = pr.imp_prune_step(params0, pr.init_mask(params0), 0.3)
+    params = pr.apply_mask(params0, mask)
+    gmask = pr.grad_mask_tree(mask)
+
+    opt = make_optimizer(params, 1e-3, weight_decay=1e-2)
+    state = tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    D = jnp.asarray(np.random.RandomState(0).rand(8, 8), jnp.float32)
+    step = jax.jit(tl.make_train_step(
+        uc2.forward, cfg, opt, D, semantic_lambda=10.0, top_k=4,
+        compute_dtype=None, grad_mask=gmask, use_dropout=False))
+
+    r = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(r.randint(3, 64, (1, 8, 6)), jnp.int32),
+        "input_mask": jnp.ones((1, 8, 6), jnp.int32),
+        "features": jnp.asarray(r.randn(1, 8, 4, 16), jnp.float32),
+        "locs": jnp.asarray(r.rand(1, 8, 4, 7), jnp.float32),
+        "image_mask": jnp.ones((1, 8, 4), jnp.int32),
+        "labels": jnp.asarray(r.randint(0, 8, (1, 8)), jnp.int32),
+    }
+    for i in range(3):
+        state, m = step(state, batch, jax.random.key(i))
+    for (pw, w), (_, mk) in zip(pr._walk(state.params), pr._walk(mask)):
+        if mk is None:
+            continue
+        w = np.asarray(w)
+        assert np.all(w[np.asarray(mk) == 0] == 0.0), pw
+        # surviving weights must have moved
+        assert np.any(w[np.asarray(mk) == 1]
+                      != np.asarray(dict(pr._walk(params))[pw])[np.asarray(mk) == 1])
+
+
+def test_rewind_restores_theta0(tiny):
+    cfg, params0 = tiny
+    mask = pr.imp_prune_step(params0, pr.init_mask(params0), 0.1)
+    # training moved params; rewind = restore theta0 wholesale, mask persists
+    moved = jax.tree.map(lambda x: x + 0.1, params0)
+    rewound = params0     # our rewind is literally theta0 (see docstring)
+    assert pr.sparsity(mask) > 9.0
+    for (_, a), (_, b) in zip(pr._walk(rewound), pr._walk(params0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    del moved
+
+
+def test_checkpoint_roundtrip(tiny, tmp_path):
+    cfg, params = tiny
+    opt = make_optimizer(params, 1e-3)
+    state = tl.TrainState(params, opt.init(params),
+                          jnp.asarray(7, jnp.int32))
+    d = str(tmp_path / "ckpt")
+    ckpt.save_state(d, state, epoch=2, best_score=0.41)
+    like = tl.TrainState(jax.tree.map(jnp.zeros_like, params),
+                         opt.init(params), jnp.zeros((), jnp.int32))
+    restored, meta = ckpt.resume_state(d, like)
+    assert meta["epoch"] == 2 and abs(meta["best_score"] - 0.41) < 1e-9
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ckpt.save_params(d, "params_best", state.params)
+    p2 = ckpt.load_params(d, "params_best", like=params)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_torch_bin(tiny, tmp_path):
+    cfg, params = tiny
+    path = str(tmp_path / "model.bin")
+    ckpt.export_torch_bin(path, params, model="uc2")
+    import torch
+    sd = torch.load(path, weights_only=True)
+    assert "bert.encoder.layer.0.attention_self.query.weight" in sd
+    assert "bert.encoder.layer.0.attention_self.v_query.weight" in sd
+    np.testing.assert_allclose(
+        sd["bert.t_pooler.dense.weight"].numpy().T,
+        np.asarray(params["pooler"]["w"]))
