@@ -1,0 +1,160 @@
+"""End-to-end region-feature extractors.
+
+``Extractor36``: the R-101-C4 + VG-attr-head 36-box pipeline of
+features_extraction/detectron2_proposal_maxnms.py — backbone -> RPN(300) ->
+RoIPool 14x14 + res5 -> mean-pool [300, 2048] -> class/attr logits ->
+NMS-sweep to exactly 36 -> RegionRecord, as ONE jitted XLA program per
+padded image shape (the reference runs bs=1 through six separate CUDA
+stages).
+
+Preprocessing parity: BGR pixel order, mean subtraction (102.9801, 115.9465,
+122.7717), no std scaling, shortest-side-800 / longest-1333 resize
+(bilinear; the reference resizes with PIL — subpixel interpolation may
+differ, documented divergence). Images are padded to a bucketed static shape
+with objectness masked beyond the valid feature extent.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...data.features import RegionRecord
+from ...ops.roi import roi_pool
+from . import heads, resnet, rpn
+
+PIXEL_MEAN_BGR = (102.9801, 115.9465, 122.7717)
+
+
+def resize_shortest_edge(h: int, w: int, short: int = 800,
+                         max_size: int = 1333) -> tuple[int, int]:
+    """detectron2 ResizeShortestEdge.get_output_shape."""
+    scale = short / min(h, w)
+    if max(h, w) * scale > max_size:
+        scale = max_size / max(h, w)
+    return int(h * scale + 0.5), int(w * scale + 0.5)
+
+
+@dataclasses.dataclass
+class ExtractorConfig:
+    num_boxes: int = 36
+    pooler_size: int = 14
+    stride: int = 16
+    pre_nms_topk: int = 6000
+    post_nms_topk: int = 300
+    rpn_nms_thresh: float = 0.7
+    pad_h: int = 800
+    pad_w: int = 1344           # 1333 rounded up to a stride multiple
+    short: int = 800
+    max_size: int = 1333
+
+
+def init_extractor_params(rng) -> dict:
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    return {
+        "backbone": resnet.init_backbone_c4(k1, depth=101),
+        "res5": resnet.init_res5(k2, depth=101),
+        "rpn": rpn.init_rpn(k3, in_channels=1024, hid_channels=512,
+                            num_anchors=12),
+        "predictor": heads.init_box_predictor(k4),
+    }
+
+
+class Extractor36:
+    def __init__(self, params: dict, cfg: ExtractorConfig | None = None):
+        self.params = params
+        self.cfg = cfg or ExtractorConfig()
+        c = self.cfg
+        fh, fw = c.pad_h // c.stride, c.pad_w // c.stride
+        self._anchors = jnp.asarray(rpn.generate_anchors(
+            fh, fw, stride=c.stride))
+        self._fh, self._fw = fh, fw
+        self._jitted = jax.jit(self._pipeline)
+
+    def _pipeline(self, params, image, valid_hw):
+        """image [pad_h, pad_w, 3] BGR mean-subtracted; valid_hw = (h, w) of
+        the resized (unpadded) content."""
+        c = self.cfg
+        feat = resnet.backbone_c4(image[None], params["backbone"])[0]
+
+        obj, deltas = rpn.rpn_head(feat[None], params["rpn"])
+        obj, deltas = obj[0], deltas[0]
+        # mask anchors whose cell lies beyond the valid feature extent
+        vh = -(-valid_hw[0] // c.stride)
+        vw = -(-valid_hw[1] // c.stride)
+        cy = jnp.arange(self._fh)[:, None, None]
+        cx = jnp.arange(self._fw)[None, :, None]
+        vmask = ((cy < vh) & (cx < vw))
+        vmask = jnp.broadcast_to(vmask, obj.shape).reshape(-1)
+
+        boxes, scores, pvalid = rpn.propose(
+            obj, deltas, self._anchors, valid_hw,
+            pre_nms_topk=c.pre_nms_topk, post_nms_topk=c.post_nms_topk,
+            nms_thresh=c.rpn_nms_thresh, valid_mask=vmask)
+
+        crops = roi_pool(jnp.moveaxis(feat, -1, 0), boxes,
+                         output_size=(c.pooler_size, c.pooler_size),
+                         spatial_scale=1.0 / c.stride)
+        crops = jnp.moveaxis(crops, 1, -1)              # [R, 14, 14, 1024]
+        pooled, _ = resnet.res5_head(crops, params["res5"], halve=False)
+
+        cls_logits, attr_logits, bdeltas = heads.box_predictor(
+            pooled, params["predictor"])
+        probs = jax.nn.softmax(cls_logits, axis=-1)
+        boxes_pc = heads.predict_boxes(boxes, bdeltas)
+        attr_prob = jax.nn.softmax(attr_logits[:, :-1], axis=-1)
+        max_attr_prob = jnp.max(attr_prob, axis=-1)
+        max_attr_label = jnp.argmax(attr_prob, axis=-1)
+
+        idx, keep, thresh = heads.select_exactly_n(
+            boxes_pc, probs, valid_hw, n_keep=c.num_boxes, valid=pvalid)
+
+        scores_fg = probs[:, :-1]
+        max_scores = jnp.max(scores_fg, axis=1)
+        max_classes = jnp.argmax(scores_fg, axis=1)
+        sel_boxes = boxes_pc[jnp.arange(boxes_pc.shape[0]), max_classes]
+        sel_boxes = rpn.clip_boxes(sel_boxes, valid_hw[0], valid_hw[1])
+
+        return {
+            "features": pooled[idx],
+            "boxes": sel_boxes[idx],
+            "obj_id": max_classes[idx],
+            "obj_conf": max_scores[idx],
+            "attr_id": max_attr_label[idx],
+            "attr_conf": max_attr_prob[idx],
+            "keep": keep,
+            "nms_thresh": thresh,
+        }
+
+    def preprocess(self, raw_bgr: np.ndarray):
+        """Host: resize + mean-subtract + pad. raw_bgr [H, W, 3] uint8/float
+        (BGR, like the reference's cv2-loaded input)."""
+        c = self.cfg
+        rh, rw = raw_bgr.shape[:2]
+        nh, nw = resize_shortest_edge(rh, rw, c.short, c.max_size)
+        img = jax.image.resize(jnp.asarray(raw_bgr, jnp.float32),
+                               (nh, nw, 3), method="linear")
+        img = img - jnp.asarray(PIXEL_MEAN_BGR)
+        pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
+        img = pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w])
+        return img, (nh, nw), (rh, rw)
+
+    def extract(self, raw_bgr: np.ndarray, image_id: str) -> RegionRecord:
+        img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
+        out = self._jitted(self.params, img,
+                           jnp.asarray((nh, nw), jnp.int32))
+        # rescale boxes from network-input coords to the raw image
+        boxes = heads.rescale_boxes(out["boxes"], rw / nw, rh / nh, (rh, rw))
+        return RegionRecord(
+            image_id=image_id,
+            features=np.asarray(out["features"], np.float32),
+            boxes=np.asarray(boxes, np.float32),
+            img_w=float(rw), img_h=float(rh),
+            obj_id=np.asarray(out["obj_id"]),
+            obj_conf=np.asarray(out["obj_conf"]),
+            attr_id=np.asarray(out["attr_id"]),
+            attr_conf=np.asarray(out["attr_conf"]))

@@ -1,0 +1,137 @@
+"""Detector model tests: backbone parity vs an independent torch replica,
+RPN decode parity, anchor semantics, and an end-to-end extractor smoke on a
+small synthetic image (random weights)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clg_vqa_tpu.models.detector import extractor, heads, resnet, rpn
+
+
+# ---------------------------------------------------------------------------
+# backbone vs torch replica (torch conv/bn are the independent oracle for the
+# layout/stride/padding translation)
+# ---------------------------------------------------------------------------
+
+def torch_bottleneck(x, p, stride, stride_in_1x1):
+    import torch
+    import torch.nn.functional as F
+
+    def conv(x, pc, s, pad):
+        w = torch.from_numpy(np.asarray(pc["w"]).transpose(3, 2, 0, 1).copy())
+        return F.conv2d(x, w, stride=s, padding=pad)
+
+    def bn(x, pb):
+        s = torch.from_numpy(np.asarray(pb["scale"]))[None, :, None, None]
+        b = torch.from_numpy(np.asarray(pb["bias"]))[None, :, None, None]
+        return x * s + b
+
+    s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
+    out = F.relu(bn(conv(x, p["conv1"], s1, 0), p["bn1"]))
+    out = F.relu(bn(conv(out, p["conv2"], s3, 1), p["bn2"]))
+    out = bn(conv(out, p["conv3"], 1, 0), p["bn3"])
+    if "shortcut" in p:
+        sc = bn(conv(x, p["shortcut"], stride, 0), p["bn_sc"])
+    else:
+        sc = x
+    return F.relu(out + sc)
+
+
+@pytest.mark.parametrize("stride,in1x1", [(1, True), (2, True), (2, False)])
+def test_bottleneck_matches_torch(stride, in1x1):
+    import torch
+    r = np.random.RandomState(0)
+    p = resnet._init_bottleneck(jax.random.key(0), 32, 16, 64, shortcut=True)
+    p = jax.tree.map(lambda x: jnp.asarray(r.randn(*x.shape), jnp.float32), p)
+    x = r.randn(2, 9, 11, 32).astype(np.float32)
+    ours = np.asarray(resnet.bottleneck(jnp.asarray(x), p, stride=stride,
+                                        stride_in_1x1=in1x1))
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+    ref = torch_bottleneck(xt, p, stride, in1x1).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_caffe_maxpool_matches_torch():
+    import torch
+    import torch.nn.functional as F
+    for H, W in [(10, 10), (11, 13), (7, 8)]:
+        x = np.random.RandomState(1).randn(1, H, W, 4).astype(np.float32)
+        ours = np.asarray(resnet.caffe_maxpool(jnp.asarray(x)))
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+        ref = F.max_pool2d(xt, 3, 2, 0, ceil_mode=True).numpy() \
+            .transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_stem_output_stride():
+    p = resnet.init_backbone_c4(jax.random.key(0), depth=50)
+    x = jnp.zeros((1, 64, 96, 3))
+    feat = resnet.backbone_c4(x, p)
+    assert feat.shape == (1, 4, 6, 1024)        # stride 16
+
+
+# ---------------------------------------------------------------------------
+# anchors + box decode
+# ---------------------------------------------------------------------------
+
+def test_anchor_shapes_areas():
+    a = rpn.generate_anchors(2, 3, stride=16, sizes=(64, 128),
+                             ratios=(0.5, 1.0, 2.0))
+    assert a.shape == (2 * 3 * 6, 4)
+    w = a[:, 2] - a[:, 0]
+    h = a[:, 3] - a[:, 1]
+    areas = w * h
+    # area-preserving anchors: every anchor's area equals its size squared
+    np.testing.assert_allclose(
+        np.sort(np.unique(areas.round(2))), [64.0 ** 2, 128.0 ** 2])
+    # ratios h/w
+    np.testing.assert_allclose(np.sort(np.unique((h / w).round(4))),
+                               [0.5, 1.0, 2.0])
+    # first cell centered at (0, 0)
+    np.testing.assert_allclose(a[0, :2], -a[0, 2:])
+
+
+def test_decode_boxes_identity_and_shift():
+    anchors = jnp.asarray([[0.0, 0.0, 16.0, 16.0]])
+    out = rpn.decode_boxes(anchors, jnp.zeros((1, 4)))
+    np.testing.assert_allclose(np.asarray(out), [[0, 0, 16, 16]], atol=1e-5)
+    out = rpn.decode_boxes(anchors, jnp.asarray([[0.5, 0.0, 0.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(out), [[8, 0, 24, 16]], atol=1e-4)
+    # dw clamp at log(1000/16)
+    out = rpn.decode_boxes(anchors, jnp.asarray([[0.0, 0.0, 100.0, 0.0]]))
+    assert np.asarray(out)[0, 2] - np.asarray(out)[0, 0] == pytest.approx(
+        16 * 1000 / 16, rel=1e-3)
+
+
+def test_predict_boxes_class_specific():
+    props = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
+    C = 3
+    deltas = jnp.zeros((1, C * 4)).at[0, 4].set(10.0)   # class 1 dx=10/wx=1
+    out = heads.predict_boxes(props, deltas)
+    assert out.shape == (1, C, 4)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), [0, 0, 10, 10], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[0, 1]), [10, 0, 20, 10], atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end extractor smoke (tiny shapes, random weights)
+# ---------------------------------------------------------------------------
+
+def test_extractor_end_to_end_smoke():
+    cfg = extractor.ExtractorConfig(num_boxes=6, pre_nms_topk=200,
+                                    post_nms_topk=50, pad_h=128, pad_w=160,
+                                    short=96, max_size=160)
+    params = extractor.init_extractor_params(jax.random.key(0))
+    ex = extractor.Extractor36(params, cfg)
+    img = (np.random.RandomState(0).rand(100, 140, 3) * 255).astype(np.uint8)
+    rec = ex.extract(img, "img0")
+    assert rec.features.shape == (6, 2048)
+    assert rec.boxes.shape == (6, 4)
+    assert rec.obj_id.shape == (6,)
+    assert np.isfinite(rec.features).all()
+    # boxes within the raw image
+    assert (rec.boxes[:, 0] >= 0).all() and (rec.boxes[:, 2] <= 140).all()
+    assert (rec.boxes[:, 1] >= 0).all() and (rec.boxes[:, 3] <= 100).all()
+    assert (rec.img_w, rec.img_h) == (140.0, 100.0)
