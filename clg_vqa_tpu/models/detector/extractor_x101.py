@@ -1,0 +1,143 @@
+"""X-101-32x8d-FPN 100-box feature extractor (the M3P feature pipeline).
+
+Mirrors mmf's extract_features_vmb.py driver over the
+vqa-maskrcnn-benchmark detector: channel-flipped input minus the
+(102.9801, 115.9465, 122.7717) mean (the reference flips BGR->RGB *before*
+subtracting the BGR means — a quirk kept as-is, extract_features_vmb.py:
+147-149), shortest-800/max-1333 resize, ResNeXt+FPN backbone, multi-level
+RPN, RoIAlign 7x7 box head, softmax over 1601 classes, per-class NMS(0.5)
+with shared proposal boxes, top-100 by max kept confidence; features are the
+post-ReLU fc6 activations; boxes are the (refined) detections divided by the
+image scale.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...data.features import RegionRecord
+from . import fpn as F
+from . import resnet, rpn
+
+
+@dataclasses.dataclass
+class X101Config:
+    num_boxes: int = 100
+    pre_nms_topk: int = 1000       # per level
+    post_nms_topk_level: int = 1000
+    post_nms_topk: int = 1000
+    rpn_nms_thresh: float = 0.7
+    pad_h: int = 800
+    pad_w: int = 1344
+    short: int = 800
+    max_size: int = 1333
+    num_classes: int = 1600
+
+
+def init_x101_params(rng) -> dict:
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+
+    def lin(rng, i, o, std=0.01):
+        return {"w": jax.random.normal(rng, (i, o), jnp.float32) * std,
+                "b": jnp.zeros((o,), jnp.float32)}
+
+    return {
+        "backbone": resnet.init_backbone_x(k1, depth=101, groups=32,
+                                           width_per_group=8),
+        "fpn": F.init_fpn(k2),
+        "rpn": rpn.init_rpn(k3, in_channels=256, hid_channels=256,
+                            num_anchors=3),
+        "box_head": F.init_box_head_fc(k4, rep_dim=2048),
+        "predictor": {
+            "cls_score": lin(k5, 2048, 1601),
+            "bbox_pred": lin(jax.random.fold_in(k5, 1), 2048, 1601 * 4,
+                             0.001),
+        },
+    }
+
+
+class ExtractorX101:
+    def __init__(self, params: dict, cfg: X101Config | None = None):
+        self.params = params
+        self.cfg = cfg or X101Config()
+        c = self.cfg
+        self._strides = [4, 8, 16, 32, 64]
+        self._sizes = [32, 64, 128, 256, 512]
+        self._anchors = []
+        for stride, size in zip(self._strides, self._sizes):
+            fh, fw = c.pad_h // stride, c.pad_w // stride
+            self._anchors.append(jnp.asarray(rpn.generate_anchors(
+                fh, fw, stride=stride, sizes=(size,))))
+        self._jitted = jax.jit(self._pipeline)
+
+    def _pipeline(self, params, image, valid_hw):
+        c = self.cfg
+        stages = resnet.backbone_stages(image[None], params["backbone"],
+                                        groups=32, caffe_pool=False)
+        pyr = F.fpn(stages, params["fpn"])
+
+        all_boxes, all_scores, all_valid = [], [], []
+        for lvl, (feat, anchors, stride) in enumerate(
+                zip(pyr, self._anchors, self._strides)):
+            obj, deltas = rpn.rpn_head(feat, params["rpn"])
+            obj, deltas = obj[0], deltas[0]
+            vh = -(-valid_hw[0] // stride)
+            vw = -(-valid_hw[1] // stride)
+            cy = jnp.arange(obj.shape[0])[:, None, None]
+            cx = jnp.arange(obj.shape[1])[None, :, None]
+            vmask = jnp.broadcast_to((cy < vh) & (cx < vw),
+                                     obj.shape).reshape(-1)
+            b, s, v = rpn.propose(
+                obj, deltas, anchors, valid_hw,
+                pre_nms_topk=min(c.pre_nms_topk, obj.size),
+                post_nms_topk=c.post_nms_topk_level,
+                nms_thresh=c.rpn_nms_thresh, valid_mask=vmask)
+            all_boxes.append(b)
+            all_scores.append(jnp.where(v, s, -jnp.inf))
+            all_valid.append(v)
+        boxes = jnp.concatenate(all_boxes)
+        scores = jnp.concatenate(all_scores)
+        top_s, top_i = jax.lax.top_k(scores, c.post_nms_topk)
+        proposals = boxes[top_i]
+        pvalid = jnp.isfinite(top_s)
+
+        crops = F.multilevel_roi_align(pyr, proposals)
+        fc6, fc7 = F.box_head_fc(crops, params["box_head"])
+        cls_logits = fc7 @ params["predictor"]["cls_score"]["w"] \
+            + params["predictor"]["cls_score"]["b"]
+        probs = jax.nn.softmax(cls_logits, axis=-1)
+        order, max_conf, objects = F.select_top_by_class_nms(
+            proposals, probs, num_keep=c.num_boxes, valid=pvalid)
+        return {
+            "features": fc6[order],
+            "boxes": proposals[order],
+            "obj_id": objects,
+            "obj_conf": max_conf,
+            "num_valid": jnp.sum(max_conf > 0),
+        }
+
+    def preprocess(self, raw_bgr: np.ndarray):
+        from .extractor import PIXEL_MEAN_BGR, resize_shortest_edge
+        c = self.cfg
+        rh, rw = raw_bgr.shape[:2]
+        img = np.asarray(raw_bgr, np.float32)[:, :, ::-1]   # BGR -> RGB flip
+        img = img - np.asarray(PIXEL_MEAN_BGR, np.float32)  # (quirk: BGR means)
+        nh, nw = resize_shortest_edge(rh, rw, c.short, c.max_size)
+        img = jax.image.resize(jnp.asarray(img), (nh, nw, 3), method="linear")
+        pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
+        return pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w]), (nh, nw), (rh, rw)
+
+    def extract(self, raw_bgr: np.ndarray, image_id: str) -> RegionRecord:
+        img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
+        out = self._jitted(self.params, img, jnp.asarray((nh, nw), jnp.int32))
+        scale = nh / rh
+        boxes = np.asarray(out["boxes"], np.float32) / scale
+        return RegionRecord(
+            image_id=image_id,
+            features=np.asarray(out["features"], np.float32),
+            boxes=boxes, img_w=float(rw), img_h=float(rh),
+            obj_id=np.asarray(out["obj_id"]),
+            obj_conf=np.asarray(out["obj_conf"]))

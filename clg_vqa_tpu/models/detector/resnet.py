@@ -27,15 +27,17 @@ Params = dict[str, Any]
 STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 
 
-def conv(x, p: Params, *, stride: int = 1, dilation: int = 1):
+def conv(x, p: Params, *, stride: int = 1, dilation: int = 1,
+         groups: int = 1):
     """NHWC conv, weights HWIO, SAME-style explicit padding like torch
-    (pad = ((k-1)*dilation)//2)."""
+    (pad = ((k-1)*dilation)//2). groups>1 = ResNeXt grouped conv."""
     k = p["w"].shape[0]
     pad = ((k - 1) * dilation) // 2
     y = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         rhs_dilation=(dilation, dilation),
+        feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if "b" in p:
         y = y + p["b"]
@@ -61,11 +63,12 @@ def caffe_maxpool(x):
 
 
 def bottleneck(x, p: Params, *, stride: int = 1, dilation: int = 1,
-               stride_in_1x1: bool = True):
+               stride_in_1x1: bool = True, groups: int = 1):
     s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
     out = jax.nn.relu(frozen_bn(conv(x, p["conv1"], stride=s1), p["bn1"]))
     out = jax.nn.relu(frozen_bn(
-        conv(out, p["conv2"], stride=s3, dilation=dilation), p["bn2"]))
+        conv(out, p["conv2"], stride=s3, dilation=dilation, groups=groups),
+        p["bn2"]))
     out = frozen_bn(conv(out, p["conv3"]), p["bn3"])
     if "shortcut" in p:
         sc = frozen_bn(conv(x, p["shortcut"], stride=stride), p["bn_sc"])
@@ -75,11 +78,28 @@ def bottleneck(x, p: Params, *, stride: int = 1, dilation: int = 1,
 
 
 def stage(x, blocks: list[Params], *, stride: int, dilation: int = 1,
-          stride_in_1x1: bool = True):
+          stride_in_1x1: bool = True, groups: int = 1):
     for i, bp in enumerate(blocks):
         x = bottleneck(x, bp, stride=stride if i == 0 else 1,
-                       dilation=dilation, stride_in_1x1=stride_in_1x1)
+                       dilation=dilation, stride_in_1x1=stride_in_1x1,
+                       groups=groups)
     return x
+
+
+def backbone_stages(x, params: Params, *, stride_in_1x1: bool = True,
+                    caffe_pool: bool = True, groups: int = 1):
+    """Stem + res2..res5, returning all stage outputs (C2, C3, C4, C5) for
+    FPN consumption. x: [N, H, W, 3]."""
+    x = stem(x, params["stem"], caffe_pool=caffe_pool)
+    c2 = stage(x, params["res2"], stride=1, stride_in_1x1=stride_in_1x1,
+               groups=groups)
+    c3 = stage(c2, params["res3"], stride=2, stride_in_1x1=stride_in_1x1,
+               groups=groups)
+    c4 = stage(c3, params["res4"], stride=2, stride_in_1x1=stride_in_1x1,
+               groups=groups)
+    c5 = stage(c4, params["res5"], stride=2, stride_in_1x1=stride_in_1x1,
+               groups=groups)
+    return c2, c3, c4, c5
 
 
 def stem(x, p: Params, *, caffe_pool: bool = True):
@@ -130,11 +150,13 @@ def _init_bn(c):
             "bias": jnp.zeros((c,), jnp.float32)}
 
 
-def _init_bottleneck(rng, cin, cmid, cout, shortcut):
+def _init_bottleneck(rng, cin, cmid, cout, shortcut, groups: int = 1):
     ks = jax.random.split(rng, 4)
     p = {
         "conv1": _init_conv(ks[0], 1, cin, cmid), "bn1": _init_bn(cmid),
-        "conv2": _init_conv(ks[1], 3, cmid, cmid), "bn2": _init_bn(cmid),
+        # grouped conv weights are [k, k, cmid/groups, cmid] (HWIO)
+        "conv2": _init_conv(ks[1], 3, cmid // groups, cmid),
+        "bn2": _init_bn(cmid),
         "conv3": _init_conv(ks[2], 1, cmid, cout), "bn3": _init_bn(cout),
     }
     if shortcut:
@@ -165,3 +187,25 @@ def init_res5(rng, *, depth: int = 101) -> Params:
     return {"res5": [_init_bottleneck(next(ks), 1024 if i == 0 else 2048,
                                       512, 2048, shortcut=(i == 0))
                      for i in range(n5)]}
+
+
+def init_backbone_x(rng, *, depth: int = 101, groups: int = 32,
+                    width_per_group: int = 8) -> Params:
+    """ResNeXt backbone (X-101-32x8d for the mmf/vqa-maskrcnn-benchmark
+    feature pipeline), stages res2..res5."""
+    n2, n3, n4, n5 = STAGE_BLOCKS[depth]
+    ks = iter(jax.random.split(rng, 128))
+    params = {"stem": {"conv1": _init_conv(next(ks), 7, 3, 64),
+                       "bn1": _init_bn(64)}}
+
+    def make_stage(n, cin, cmid, cout):
+        return [_init_bottleneck(next(ks), cin if i == 0 else cout, cmid,
+                                 cout, shortcut=(i == 0), groups=groups)
+                for i in range(n)]
+
+    w = groups * width_per_group          # 256 for 32x8d
+    params["res2"] = make_stage(n2, 64, w, 256)
+    params["res3"] = make_stage(n3, 256, w * 2, 512)
+    params["res4"] = make_stage(n4, 512, w * 4, 1024)
+    params["res5"] = make_stage(n5, 1024, w * 8, 2048)
+    return params

@@ -135,3 +135,76 @@ def test_extractor_end_to_end_smoke():
     assert (rec.boxes[:, 0] >= 0).all() and (rec.boxes[:, 2] <= 140).all()
     assert (rec.boxes[:, 1] >= 0).all() and (rec.boxes[:, 3] <= 100).all()
     assert (rec.img_w, rec.img_h) == (140.0, 100.0)
+
+
+# ---------------------------------------------------------------------------
+# FPN / X101 path
+# ---------------------------------------------------------------------------
+
+def test_fpn_shapes_and_levels():
+    from clg_vqa_tpu.models.detector import fpn as F
+    params = F.init_fpn(jax.random.key(0))
+    H = W = 64
+    feats = (jnp.zeros((1, H // 4, W // 4, 256)),
+             jnp.zeros((1, H // 8, W // 8, 512)),
+             jnp.zeros((1, H // 16, W // 16, 1024)),
+             jnp.zeros((1, H // 32, W // 32, 2048)))
+    pyr = F.fpn(feats, params)
+    assert [p.shape[1] for p in pyr] == [16, 8, 4, 2, 1]
+    assert all(p.shape[-1] == 256 for p in pyr)
+
+    boxes = jnp.asarray([[0, 0, 32, 32], [0, 0, 112, 112], [0, 0, 224, 224],
+                         [0, 0, 448, 448], [0, 0, 1000, 1000]], jnp.float32)
+    lvls = np.asarray(F.assign_levels(boxes))
+    # canonical: 224x224 -> P4 (index 2); small -> P2 (0); huge clamps at P5
+    assert lvls[0] == 0 and lvls[2] == 2 and lvls[4] == 3
+
+
+def test_select_top_by_class_nms_matches_reference_loop():
+    """Vectorized per-class NMS selection == the reference's python loop
+    (extract_features_vmb.py:186-206)."""
+    from clg_vqa_tpu.models.detector.fpn import select_top_by_class_nms
+    import sys
+    sys.path.insert(0, "tests")
+    from test_detector_ops import rand_boxes
+    r = np.random.RandomState(7)
+    N, C = 40, 6
+    boxes = rand_boxes(r, N, 120, 120)
+    logits = r.randn(N, C + 1).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+
+    # reference loop
+    import sys
+    sys.path.insert(0, "tests")
+    from test_detector_ops import np_nms
+    max_conf = np.zeros(N)
+    for cls_ind in range(1, C + 1):
+        cls_scores = probs[:, cls_ind]
+        keep = np_nms(boxes, cls_scores, 0.5)
+        sel = (cls_scores[keep] > max_conf[keep]) & (cls_scores[keep] > 0)
+        max_conf[keep] = np.where(sel, cls_scores[keep], max_conf[keep])
+    ref_order = np.argsort(-max_conf, kind="stable")[:10]
+
+    order, conf, objects = select_top_by_class_nms(
+        jnp.asarray(boxes), jnp.asarray(probs), num_keep=10)
+    np.testing.assert_allclose(np.sort(np.asarray(conf))[::-1],
+                               np.sort(max_conf[ref_order])[::-1], rtol=1e-5)
+    # same set of confidences => same boxes chosen (order may tie-break)
+    np.testing.assert_allclose(np.asarray(conf), max_conf[ref_order],
+                               rtol=1e-5)
+
+
+def test_x101_extractor_smoke():
+    from clg_vqa_tpu.models.detector.extractor_x101 import (ExtractorX101,
+                                                            X101Config,
+                                                            init_x101_params)
+    cfg = X101Config(num_boxes=10, pre_nms_topk=64, post_nms_topk_level=32,
+                     post_nms_topk=64, pad_h=128, pad_w=128, short=96,
+                     max_size=128)
+    params = init_x101_params(jax.random.key(0))
+    ex = ExtractorX101(params, cfg)
+    img = (np.random.RandomState(3).rand(90, 110, 3) * 255).astype(np.uint8)
+    rec = ex.extract(img, "x0")
+    assert rec.features.shape == (10, 2048)
+    assert rec.boxes.shape == (10, 4)
+    assert np.isfinite(rec.features).all()
