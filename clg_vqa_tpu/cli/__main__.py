@@ -6,6 +6,7 @@ TPU stack underneath."""
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from . import common as C
@@ -84,6 +85,79 @@ def cmd_convert(args):
     print(f"saved {args.output_dir}/{args.name}")
 
 
+def cmd_extract(args):
+    """Offline region-feature extraction (the features_extraction/ stage):
+    images dir -> CFS store using the R101-C4 36-box or X101-FPN 100-box
+    pipeline."""
+    import glob as _glob
+
+    import jax
+    import numpy as np
+
+    from ..data.cfs import CfsWriter
+    from ..train import checkpoints as ckpt
+
+    if args.detector == "c4":
+        from ..models.detector.extractor import (Extractor36,
+                                                 init_extractor_params)
+        params = (ckpt.load_params(os.path.dirname(args.weights) or ".",
+                                   os.path.basename(args.weights))
+                  if args.weights else
+                  init_extractor_params(jax.random.key(0)))
+        ex = Extractor36(params)
+    else:
+        from ..models.detector.extractor_x101 import (ExtractorX101,
+                                                      init_x101_params)
+        params = (ckpt.load_params(os.path.dirname(args.weights) or ".",
+                                   os.path.basename(args.weights))
+                  if args.weights else init_x101_params(jax.random.key(0)))
+        ex = ExtractorX101(params)
+
+    paths = sorted(_glob.glob(os.path.join(args.images, "*")))
+    n = 0
+    with CfsWriter(args.out) as w:
+        for p in paths:
+            img = _load_image_bgr(p)
+            if img is None:
+                continue
+            image_id = os.path.splitext(os.path.basename(p))[0]
+            w.add(ex.extract(img, image_id))
+            n += 1
+            if args.limit and n >= args.limit:
+                break
+    print(f"extracted {n} images -> {args.out}")
+
+
+def _load_image_bgr(path):
+    """BGR uint8 image (cv2.imread parity). PIL loads RGB; flip."""
+    import numpy as np
+    try:
+        from PIL import Image
+        img = np.asarray(Image.open(path).convert("RGB"))
+        return img[:, :, ::-1]
+    except ImportError:
+        if path.endswith(".npy"):
+            return np.load(path)
+        return None
+
+
+def cmd_convert_store(args):
+    from ..data import convert_store as cs
+    src, dst = args.src, args.dst
+    if src.endswith(".h5") and dst.endswith(".cfs"):
+        n = cs.h5_to_cfs(src, dst)
+    elif src.endswith(".cfs") and dst.endswith(".h5"):
+        n = cs.cfs_to_h5(src, dst)
+    elif dst.endswith(".cfs") and os.path.isdir(src) and \
+            any(f.endswith(".npy") for f in os.listdir(src)):
+        n = cs.npy_to_cfs(src, dst)
+    elif dst.endswith(".cfs"):
+        n = cs.lmdb_to_cfs(src, dst)
+    else:
+        n = cs.cfs_to_lmdb(src, dst)
+    print(f"converted {n} records: {src} -> {dst}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="clg_vqa_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -113,6 +187,20 @@ def main(argv=None):
     C.add_common_args(sp)
     sp.add_argument("--name", default="params_pretrained")
     sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser("extract")
+    sp.add_argument("--images", required=True, help="directory of images")
+    sp.add_argument("--out", required=True, help="output .cfs store")
+    sp.add_argument("--detector", choices=("c4", "x101"), default="c4")
+    sp.add_argument("--weights", default="",
+                    help="orbax params dir (from the caffe-pkl converter)")
+    sp.add_argument("--limit", type=int, default=0)
+    sp.set_defaults(fn=cmd_extract)
+
+    sp = sub.add_parser("convert-store")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    sp.set_defaults(fn=cmd_convert_store)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -126,7 +126,8 @@ def embed(params: Params, cfg: UC2Config, input_ids, features, locs,
 
 
 def encode(params: Params, cfg: UC2Config, batch: dict, *,
-           deterministic: bool = True, rng=None, compute_dtype=None):
+           deterministic: bool = True, rng=None, compute_dtype=None,
+           remat: bool = False):
     """Run embeddings + the collapsed 12-block joint encoder.
 
     Returns (joint_sequence [B, T+R, H], pooled [B, pooler_size]).
@@ -173,7 +174,11 @@ def encode(params: Params, cfg: UC2Config, batch: dict, *,
 
     stacked = {"attn": enc["attn"], "ln1": enc["ln1"],
                "ffn": enc["ffn"], "ln2": enc["ln2"]}
-    joint, _ = jax.lax.scan(block, joint, (stacked, layer_rngs))
+    # remat: recompute each block in backward instead of saving its
+    # activations — trades ~30% encoder FLOPs for O(L) less HBM, letting the
+    # full 256 batch train without gradient accumulation
+    block_fn = jax.checkpoint(block) if remat else block
+    joint, _ = jax.lax.scan(block_fn, joint, (stacked, layer_rngs))
 
     # BertTextPooler on text token 0 == joint position 0 (text comes first);
     # fusion_act defaults to relu (volta/volta/config.py:254).
@@ -184,13 +189,13 @@ def encode(params: Params, cfg: UC2Config, batch: dict, *,
 
 def forward(params: Params, cfg: UC2Config, batch: dict, *,
             deterministic: bool = True, rng=None,
-            compute_dtype=None) -> jnp.ndarray:
+            compute_dtype=None, remat: bool = False) -> jnp.ndarray:
     """BertForVLTasks.forward for the VL-classifier-GQA head
     (volta/volta/encoders.py:1202-1259): fusion_method="text" -> dropout on
     pooled text, SimpleClassifier logits."""
     _, pooled = encode(params, cfg, batch, deterministic=deterministic,
                        rng=None if rng is None else jax.random.fold_in(rng, 2),
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype, remat=remat)
     pooled = L.dropout(
         pooled, cfg.clf_dropout_prob,
         None if rng is None else jax.random.fold_in(rng, 3), deterministic)

@@ -38,10 +38,11 @@ class TrainState(NamedTuple):
 
 def make_loss_fn(model_forward: Callable, cfg, distance_matrix, *,
                  semantic_lambda: float, top_k: int = 10,
-                 compute_dtype=jnp.bfloat16) -> Callable:
+                 compute_dtype=jnp.bfloat16, remat: bool = False) -> Callable:
     def loss_fn(params, mb, rng):
         logits = model_forward(params, cfg, mb, deterministic=rng is None,
-                               rng=rng, compute_dtype=compute_dtype)
+                               rng=rng, compute_dtype=compute_dtype,
+                               remat=remat)
         loss = gqa_train_loss(
             logits, mb["labels"], distance_matrix,
             semantic_lambda=semantic_lambda, top_k=top_k,
@@ -57,14 +58,15 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
                     *, semantic_lambda: float, top_k: int = 10,
                     compute_dtype=jnp.bfloat16,
                     grad_mask: Any = None,
-                    use_dropout: bool = True) -> Callable:
+                    use_dropout: bool = True,
+                    remat: bool = False) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     ``batch`` leaves are shaped [grad_acc, micro_bs, ...].
     """
     loss_fn = make_loss_fn(model_forward, cfg, distance_matrix,
                            semantic_lambda=semantic_lambda, top_k=top_k,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, remat=remat)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(state: TrainState, batch, rng):

@@ -64,3 +64,21 @@ def test_process_regions_semantics():
     np.testing.assert_allclose(locs[0, 4], 0.5)      # w
     np.testing.assert_allclose(locs[0, 5], 0.5)      # h
     np.testing.assert_allclose(locs[0, 6], 0.25)     # area
+
+
+def test_h5_cfs_roundtrip(tmp_path):
+    """h5 (reference extractor schema) <-> CFS conversions preserve bytes."""
+    import h5py
+    from clg_vqa_tpu.data import convert_store as cs
+    path, recs = make_store(tmp_path, n_images=4)
+    h5p = str(tmp_path / "t.h5")
+    assert cs.cfs_to_h5(path, h5p) == 4
+    with h5py.File(h5p) as f:
+        assert set(f.keys()) == {r.image_id for r in recs}
+    cfs2 = str(tmp_path / "t2.cfs")
+    assert cs.h5_to_cfs(h5p, cfs2) == 4
+    rd = CfsReader(cfs2)
+    for rec in recs:
+        got = rd.get(rec.image_id)
+        np.testing.assert_array_equal(got.features, rec.features)
+        np.testing.assert_array_equal(got.boxes, rec.boxes)
