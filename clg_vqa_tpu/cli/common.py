@@ -160,3 +160,31 @@ def build_dataset(args, cfg, task_cfg, split: str, features_path: str,
         add_global_imgfeat=getattr(cfg, "add_global_imgfeat", None),
         norm_embeddings=getattr(cfg, "norm_embeddings", False),
         code_mixer=code_mixer)
+
+
+def init_classifier_from_answers(params, tokenizer, ans2label: dict):
+    """embed_clf: initialize the classifier output weights from the mean
+    word-embedding of each answer's tokens (train_task.py:218-238). The
+    reference tokenizes each answer, averages the word embeddings (falling
+    back to <unk> for empty tokenizations), and overwrites logit_fc.3's
+    weight rows; in our layout that is classifier.fc2.w columns."""
+    import numpy as np
+    word = np.asarray(params["embeddings"]["word"])
+    rows = []
+    for answer, _label in sorted(ans2label.items()):
+        toks = tokenizer.tokenize(answer)
+        ids = tokenizer.convert_tokens_to_ids(toks)
+        if len(ids):
+            rows.append(word[np.asarray(ids)].mean(axis=0))
+        else:
+            unk = tokenizer.convert_tokens_to_ids(
+                tokenizer.tokenize("<unk>"))[0]
+            rows.append(word[unk])
+    emb = np.stack(rows)                      # [num_labels, hidden]
+    import jax.numpy as jnp
+    params = dict(params)
+    clf = dict(params["classifier"])
+    clf["fc2"] = dict(clf["fc2"])
+    clf["fc2"]["w"] = jnp.asarray(emb.T)      # ours is [hidden, num_labels]
+    params["classifier"] = clf
+    return params
