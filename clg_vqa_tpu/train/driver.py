@@ -93,7 +93,10 @@ class FinetuneRunner:
         return self.logger.show_val(epoch)
 
     def _train_epoch(self, state, step_fn, epoch, *, log_every=20):
-        rng = jax.random.key(self.seed * 1000 + epoch)
+        # rbg PRNG: much cheaper dropout-bit generation on TPU than the
+        # default threefry (no parity requirement — the reference's dropout
+        # stream is torch RNG anyway)
+        rng = jax.random.key(self.seed * 1000 + epoch, impl="rbg")
         for i, batch in enumerate(self.pipe.epoch(epoch)):
             state, m = step_fn(state, batch, jax.random.fold_in(rng, i))
             self.logger.step_train(epoch, float(m["loss"]),

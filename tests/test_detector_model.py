@@ -208,3 +208,64 @@ def test_x101_extractor_smoke():
     assert rec.features.shape == (10, 2048)
     assert rec.boxes.shape == (10, 4)
     assert np.isfinite(rec.features).all()
+
+
+def test_detector_checkpoint_roundtrip():
+    """init -> d2 state dict -> pytree roundtrip is exact, incl. BN folding
+    path (running stats form) and the caffe2 renamer."""
+    from clg_vqa_tpu.models.detector.extractor import init_extractor_params
+    from clg_vqa_tpu.utils.convert_detector import (
+        caffe2_to_detectron2_names, detectron2_c4_to_pytree,
+        pytree_to_detectron2_c4)
+    params = init_extractor_params(jax.random.key(0))
+    sd = pytree_to_detectron2_c4(params)
+    assert "backbone.res4.22.conv2.weight" in sd         # 23 blocks in res4
+    back = detectron2_c4_to_pytree(sd)
+    for (p1, l1), (p2, l2) in zip(
+            sorted_leaves(params), sorted_leaves(back)):
+        assert p1 == p2, (p1, p2)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    # unfolded-BN path: expand an affine into gamma/beta/mean/var and fold
+    sd2 = dict(sd)
+    s = sd2.pop("backbone.stem.conv1.norm.weight")
+    b = sd2.pop("backbone.stem.conv1.norm.bias")
+    var = np.abs(np.random.RandomState(0).rand(len(s))).astype(np.float32)
+    mean = np.random.RandomState(1).randn(len(s)).astype(np.float32)
+    eps = 1e-5
+    sd2["backbone.stem.conv1.norm.weight"] = s * np.sqrt(var + eps)
+    sd2["backbone.stem.conv1.norm.bias"] = b + mean * s
+    sd2["backbone.stem.conv1.norm.running_mean"] = mean
+    sd2["backbone.stem.conv1.norm.running_var"] = var
+    back2 = detectron2_c4_to_pytree(sd2)
+    np.testing.assert_allclose(
+        np.asarray(back2["backbone"]["stem"]["bn1"]["scale"]), np.asarray(s),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(back2["backbone"]["stem"]["bn1"]["bias"]), np.asarray(b),
+        rtol=1e-4, atol=1e-5)
+
+    # caffe2 renamer spot checks
+    c2 = {"conv1_w": sd["backbone.stem.conv1.weight"],
+          "res2_0_branch2a_w": sd["backbone.res2.0.conv1.weight"],
+          "res5_2_branch2c_bn_s": np.ones(3, np.float32),
+          "cls_score_w": sd["roi_heads.box_predictor.cls_score.weight"]}
+    renamed = caffe2_to_detectron2_names(c2)
+    assert "backbone.stem.conv1.weight" in renamed
+    assert "backbone.res2.0.conv1.weight" in renamed
+    assert "roi_heads.res5.2.conv3.norm.weight" in renamed
+    assert "roi_heads.box_predictor.cls_score.weight" in renamed
+
+
+def sorted_leaves(tree, path=()):
+    if isinstance(tree, dict):
+        out = []
+        for k in sorted(tree):
+            out += sorted_leaves(tree[k], path + (str(k),))
+        return out
+    if isinstance(tree, list):
+        out = []
+        for i, v in enumerate(tree):
+            out += sorted_leaves(v, path + (str(i),))
+        return out
+    return [("/".join(path), tree)]
