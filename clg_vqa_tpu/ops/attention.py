@@ -9,6 +9,11 @@ head) tile, so scores never touch HBM.
 Forward-only (serving/eval path; training uses the XLA formulation whose
 backward XLA already fuses well). Numerics match layers.multi_head_attention
 with scale applied post-QK^T and fp32 softmax.
+
+Measured on v5e (bs 256, S=76, 12 heads): this kernel 4.2 ms vs XLA 1.5 ms —
+at CLG-VQA's tiny sequence lengths XLA's batched-matmul fusion wins, so the
+XLA path stays the default. The kernel is kept as the building block for
+longer-sequence variants (S >= 512 is where per-tile softmax fusion pays).
 """
 from __future__ import annotations
 

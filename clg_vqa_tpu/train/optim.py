@@ -140,3 +140,78 @@ def make_optimizer(params: Any, schedule: Callable, *, b1=0.9, b2=0.999,
         adamw_pt(schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
                  correct_bias=correct_bias, decay_mask=no_decay_mask(params)),
     )
+
+
+def freeze_mask(params: Any, fixed_layers: list[str]) -> Any:
+    """train_utils.freeze_layers (train_utils.py:305-318) as a gradient mask:
+    leaves whose "/"-joined path contains any of the ``fixed_layers``
+    substrings get 0 (no update); everything else None (pass-through).
+    Compose with make_train_step(grad_mask=...)."""
+    if not fixed_layers:
+        return None
+
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        name = "/".join(path)
+        frozen = any(f in name for f in fixed_layers)
+        return jnp.zeros_like(tree) if frozen else None
+
+    return walk(params, ())
+
+
+class RAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def radam(learning_rate, b1: float = 0.9, b2: float = 0.999,
+          eps: float = 1e-8, weight_decay: float = 0.0,
+          decay_mask: Any = None) -> optax.GradientTransformation:
+    """Rectified Adam matching volta/volta/optimization.py:9-93 (the
+    reference's --optim RAdam option): variance-rectification warmup with the
+    SGDM fallback when rho <= 5, L2 decay folded into the gradient step as
+    ``p -= lr * wd * p`` before the adaptive update (the reference applies
+    decay multiplicatively on p_data prior to addcdiv)."""
+    rho_inf = 2.0 / (1.0 - b2) - 1.0
+
+    def init(params):
+        return RAdamState(count=jnp.zeros([], jnp.int32),
+                          mu=jax.tree.map(jnp.zeros_like, params),
+                          nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        lr = learning_rate(state.count) if callable(learning_rate) \
+            else learning_rate
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, grads)
+        beta2_t = b2 ** t
+        rho = rho_inf - 2.0 * t * beta2_t / (1.0 - beta2_t)
+        rect = jnp.sqrt(((rho - 4) * (rho - 2) * rho_inf)
+                        / jnp.maximum((rho_inf - 4) * (rho_inf - 2) * rho,
+                                      1e-12))
+        use_adaptive = rho > 5.0
+        step_adapt = lr * rect * jnp.sqrt(1 - beta2_t) / (1 - b1 ** t)
+        step_sgd = lr / (1 - b1 ** t)
+
+        if decay_mask is None:
+            mask = jax.tree.map(lambda _: True, params)
+        else:
+            mask = decay_mask
+
+        def upd(m, v, p, dm):
+            base = p
+            if weight_decay > 0:
+                base = jnp.where(dm, p - lr * weight_decay * p, p)
+            adapt = base - step_adapt * m / (jnp.sqrt(v) + eps)
+            sgd = base - step_sgd * m
+            return jnp.where(use_adaptive, adapt, sgd) - p
+
+        updates = jax.tree.map(upd, mu, nu, params, mask)
+        return updates, RAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)

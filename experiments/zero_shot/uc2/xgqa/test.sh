@@ -1,0 +1,15 @@
+#!/bin/bash
+# Zero-shot xGQA eval across languages + scoring, mirrors test.dtu.sh
+XGQA=${XGQA:-datasets/xGQA/annotations/few_shot}
+for LANG in en bn de id ko pt ru zh; do
+  python -m clg_vqa_tpu.cli eval \
+    --config_file "${MODEL_CONFIG:-configs/uc2_base.json}" \
+    --tasks_config_file "${TASK_CONFIG:-configs/gqa_test_boxes36.yml}" \
+    --from_pretrained "${CKPT:-out/uc2_sft/params_best}" \
+    --split "test_${LANG}" \
+    --annotations_jsonpath "${XGQA}/${LANG}/test.json" \
+    --output_dir "${OUT:-out/uc2_eval}" "$@"
+  python -m clg_vqa_tpu.cli score \
+    --preds_file "${OUT:-out/uc2_eval}/test_${LANG}_result.json" \
+    --truth_file "${XGQA}/${LANG}/test.json"
+done
