@@ -124,6 +124,7 @@ class FinetuneRunner:
             try:
                 state, meta = ckpt.resume_state(self.out, state)
                 start_epoch, best = meta["epoch"] + 1, meta["best_score"]
+                self.logger.load_state_dict(meta.get("logger", {}))
             except FileNotFoundError:
                 pass
         for epoch in range(start_epoch, self.task_cfg.num_epoch):
@@ -132,7 +133,8 @@ class FinetuneRunner:
             if score > best:
                 best = score
                 ckpt.save_params(self.out, "params_best", state.params)
-            ckpt.save_state(self.out, state, epoch=epoch, best_score=best)
+            ckpt.save_state(self.out, state, epoch=epoch, best_score=best,
+                            extra={"logger": self.logger.state_dict()})
         return best
 
     def imp_prune(self, *, fraction: float = 0.1) -> dict:
