@@ -47,7 +47,11 @@ def main():
         tl.make_train_step(uc2.forward, cfg, opt, D, semantic_lambda=10.0),
         donate_argnums=(0,))
 
-    acc, mbs, T, R = 4, 64, 40, 36
+    # grad-accum layout: 2x128 is mathematically identical to the reference's
+    # 4x64 (tests/test_train.py::test_grad_accum_equivalence) but ~6% faster
+    # on v5e (fewer dense gradient-accumulation passes); 1x256 exceeds HBM
+    # without remat and remat costs more than it saves at this scale.
+    acc, mbs, T, R = 2, 128, 40, 36
     r = np.random.RandomState(0)
     batch = {
         "input_ids": jnp.asarray(
