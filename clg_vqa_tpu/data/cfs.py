@@ -14,13 +14,16 @@ pipelines:
    per-sample Python preprocessing hot loop
    (gqa_dataset_semantic_code_mix.py:564-657).
 
-Layout:
+Layout (v2):
   header:  magic b"CFS1" | u32 version | u64 n_records | u64 index_offset
   records: per record —
            u32 id_len | id bytes | u32 n_boxes | u32 feat_dim |
            f32 img_w | f32 img_h |
-           f32 features[n_boxes*feat_dim] | f32 boxes[n_boxes*4]
+           f32 features[n_boxes*feat_dim] | f32 boxes[n_boxes*4] |
+           u8 flags | (flags&1: i32 obj_id[n] | f32 obj_conf[n] |
+                       i32 attr_id[n] | f32 attr_conf[n])
   index:   u64 offsets[n_records]  (each points at a record's id_len)
+  (v1 records lack the flags byte; the reader handles both.)
 
 Converters from the reference's h5/LMDB formats live in
 clg_vqa_tpu/data/convert_store.py.
@@ -36,7 +39,7 @@ import numpy as np
 from .features import RegionRecord, pad_regions, process_regions
 
 MAGIC = b"CFS1"
-VERSION = 1
+VERSION = 2
 _HDR = struct.Struct("<4sIQQ")
 
 
@@ -60,6 +63,13 @@ class CfsWriter:
         f.write(struct.pack("<IIff", n, fd, float(rec.img_w), float(rec.img_h)))
         f.write(feats.tobytes())
         f.write(boxes.tobytes())
+        has_det = rec.obj_id is not None
+        f.write(struct.pack("<B", 1 if has_det else 0))
+        if has_det:
+            f.write(np.ascontiguousarray(rec.obj_id, "<i4").tobytes())
+            f.write(np.ascontiguousarray(rec.obj_conf, "<f4").tobytes())
+            f.write(np.ascontiguousarray(rec.attr_id, "<i4").tobytes())
+            f.write(np.ascontiguousarray(rec.attr_conf, "<f4").tobytes())
 
     def close(self) -> None:
         f = self.f
@@ -84,8 +94,9 @@ class CfsReader:
         self._file = open(path, "rb")
         self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
         magic, version, n, index_offset = _HDR.unpack_from(self._mm, 0)
-        if magic != MAGIC or version != VERSION:
-            raise ValueError(f"not a CFS v{VERSION} file: {path}")
+        if magic != MAGIC or version not in (1, 2):
+            raise ValueError(f"not a CFS file: {path}")
+        self.version = version
         self.n_records = n
         self.offsets = np.frombuffer(self._mm, "<u8", count=n,
                                      offset=index_offset)
@@ -115,10 +126,25 @@ class CfsReader:
         image_id, n, fd, w, h, off = self._parse_header(int(self.offsets[idx]))
         feats = np.frombuffer(self._mm, "<f4", count=n * fd,
                               offset=off).reshape(n, fd)
+        boff = off + n * fd * 4
         boxes = np.frombuffer(self._mm, "<f4", count=n * 4,
-                              offset=off + n * fd * 4).reshape(n, 4)
-        return RegionRecord(image_id=image_id, features=feats, boxes=boxes,
-                            img_w=w, img_h=h)
+                              offset=boff).reshape(n, 4)
+        rec = RegionRecord(image_id=image_id, features=feats, boxes=boxes,
+                           img_w=w, img_h=h)
+        if self.version >= 2:
+            doff = boff + n * 4 * 4
+            (flags,) = struct.unpack_from("<B", self._mm, doff)
+            if flags & 1:
+                doff += 1
+                rec.obj_id = np.frombuffer(self._mm, "<i4", count=n,
+                                           offset=doff)
+                rec.obj_conf = np.frombuffer(self._mm, "<f4", count=n,
+                                             offset=doff + 4 * n)
+                rec.attr_id = np.frombuffer(self._mm, "<i4", count=n,
+                                            offset=doff + 8 * n)
+                rec.attr_conf = np.frombuffer(self._mm, "<f4", count=n,
+                                              offset=doff + 12 * n)
+        return rec
 
     def get(self, image_id) -> RegionRecord:
         return self.get_by_index(self.id2idx[str(image_id)])

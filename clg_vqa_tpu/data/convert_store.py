@@ -33,7 +33,13 @@ def h5_to_cfs(h5_path: str, cfs_path: str) -> int:
                 features=np.asarray(g["features"], np.float32),
                 boxes=np.asarray(g["boxes"], np.float32),
                 img_w=float(np.asarray(g["img_w"])),
-                img_h=float(np.asarray(g["img_h"]))))
+                img_h=float(np.asarray(g["img_h"])),
+                obj_id=(np.asarray(g["obj_id"]) if "obj_id" in g else None),
+                obj_conf=(np.asarray(g["obj_conf"])
+                          if "obj_conf" in g else None),
+                attr_id=(np.asarray(g["attr_id"]) if "attr_id" in g else None),
+                attr_conf=(np.asarray(g["attr_conf"])
+                           if "attr_conf" in g else None)))
             n += 1
     return n
 
@@ -49,6 +55,12 @@ def cfs_to_h5(cfs_path: str, h5_path: str) -> int:
             g["boxes"] = rec.boxes
             g["img_w"] = rec.img_w
             g["img_h"] = rec.img_h
+            if rec.obj_id is not None:
+                # full reference h5 schema (detectron2_proposal_maxnms.py:212-220)
+                g["obj_id"] = rec.obj_id
+                g["obj_conf"] = rec.obj_conf
+                g["attr_id"] = rec.attr_id
+                g["attr_conf"] = rec.attr_conf
     return rd.n_records
 
 

@@ -82,3 +82,33 @@ def test_h5_cfs_roundtrip(tmp_path):
         got = rd.get(rec.image_id)
         np.testing.assert_array_equal(got.features, rec.features)
         np.testing.assert_array_equal(got.boxes, rec.boxes)
+
+
+def test_cfs_v2_detection_metadata_roundtrip(tmp_path):
+    r = np.random.RandomState(9)
+    path = str(tmp_path / "det.cfs")
+    n = 5
+    rec = RegionRecord(
+        image_id="d0", features=r.randn(n, 8).astype(np.float32),
+        boxes=(r.rand(n, 4) * 50 + [[0, 0, 60, 60]]).astype(np.float32),
+        img_w=100.0, img_h=100.0,
+        obj_id=r.randint(0, 1600, n).astype(np.int32),
+        obj_conf=r.rand(n).astype(np.float32),
+        attr_id=r.randint(0, 400, n).astype(np.int32),
+        attr_conf=r.rand(n).astype(np.float32))
+    with CfsWriter(path) as w:
+        w.add(rec)
+        w.add(RegionRecord("d1", r.randn(3, 8).astype(np.float32),
+                           rec.boxes[:3], 100.0, 100.0))   # no metadata
+    rd = CfsReader(path)
+    got = rd.get("d0")
+    np.testing.assert_array_equal(got.obj_id, rec.obj_id)
+    np.testing.assert_array_equal(got.obj_conf, rec.obj_conf)
+    np.testing.assert_array_equal(got.attr_id, rec.attr_id)
+    np.testing.assert_array_equal(got.attr_conf, rec.attr_conf)
+    assert rd.get("d1").obj_id is None
+    # native gather still reads features/boxes correctly past the new fields
+    f_c, l_c, m_c = rd.gather(np.array([0, 1]), max_regions=6, num_locs=5)
+    f_p, l_p, m_p = rd._gather_py(np.array([0, 1]), 6, 5, False, None)
+    np.testing.assert_allclose(f_c, f_p, rtol=1e-6)
+    np.testing.assert_array_equal(m_c, m_p)
