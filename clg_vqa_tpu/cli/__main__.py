@@ -18,6 +18,14 @@ def _train_like(args, mode: str):
     from ..train.driver import FinetuneRunner
 
     cfg, task_cfg, optim_cfg = C.build_configs(args)
+    # command.txt: argv + resolved configs (train_task.py:190-193 parity)
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "command.txt"), "w") as f:
+        print(vars(args), file=f)
+        print("", file=f)
+        print(cfg, file=f)
+        print(task_cfg, file=f)
+        print(optim_cfg, file=f)
     mod, params = C.build_model(args, cfg)
     code_mixer = C.build_code_mixer(task_cfg, args.seed) if mode != "eval" \
         else None

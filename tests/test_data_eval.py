@@ -137,3 +137,27 @@ def test_eval_deterministic(eval_world):
     p1 = {p["questionId"]: p["prediction"] for p in r1["results"]}
     p2 = {p["questionId"]: p["prediction"] for p in r2["results"]}
     assert p1 == p2                               # batch size invariant
+
+
+def test_pipeline_host_sharding(eval_world):
+    """Per-host strided sharding partitions the epoch without overlap
+    (the DistributedSampler equivalent)."""
+    from clg_vqa_tpu.data.pipeline import TrainPipeline
+    tmp, cfg, params, ds, entries, label2ans = eval_world
+    seen = []
+    for host in range(2):
+        pipe = TrainPipeline(ds, micro_batch_size=4, grad_acc_steps=1,
+                             seed=0, host_id=host, num_hosts=2,
+                             device_put=False)
+        for b in pipe.epoch(0):
+            seen.append(np.asarray(b["labels"]).ravel())
+    # same shuffle on both hosts, disjoint strides
+    all_seen = np.concatenate(seen)
+    assert len(all_seen) <= len(ds)
+    pipe0 = TrainPipeline(ds, micro_batch_size=4, grad_acc_steps=1, seed=0,
+                          host_id=0, num_hosts=2, device_put=False)
+    pipe1 = TrainPipeline(ds, micro_batch_size=4, grad_acc_steps=1, seed=0,
+                          host_id=1, num_hosts=2, device_put=False)
+    o0, o1 = pipe0._epoch_order(0), pipe1._epoch_order(0)
+    assert set(o0).isdisjoint(set(o1))
+    assert len(set(o0) | set(o1)) == len(ds)

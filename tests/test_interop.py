@@ -63,3 +63,65 @@ def test_exported_uc2_loads_into_reference():
             image_attention_mask=torch.from_numpy(g["image_mask"]))
     np.testing.assert_allclose(logits.numpy(), g["logits"],
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_exported_m3p_loads_into_reference():
+    for m in ["boto3", "requests", "botocore", "botocore.exceptions",
+              "tensorboardX"]:
+        sys.modules.setdefault(m, types.ModuleType(m))
+    sys.modules["botocore.exceptions"].ClientError = Exception
+    sys.path.insert(0, REF)
+    import torch
+    from volta.config import M3PConfig as RefM3PConfig
+    from volta.encoders import M3PForVLTasks
+
+    from clg_vqa_tpu.config import M3PConfig
+    from clg_vqa_tpu.utils.convert import (pytree_to_volta_m3p,
+                                           volta_m3p_to_pytree)
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "m3p_golden.npz")
+    if not os.path.exists(fixture):
+        pytest.skip("run tools/make_golden_m3p.py first")
+    g = np.load(fixture)
+    cfg = M3PConfig(vocab_size=500, hidden_size=96,
+                    num_layers=int(g["n_layers"]), num_heads=4,
+                    intermediate_size=384, v_feature_size=2048, num_locs=5,
+                    pooler_size=96, clf_hidden_size=192, num_labels=50,
+                    max_boxes=8)
+    sd0 = {k[len("sd::"):]: g[k] for k in g.files if k.startswith("sd::")}
+    params = volta_m3p_to_pytree(sd0, cfg)
+    exported = {k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in pytree_to_volta_m3p(params).items()}
+
+    cfg_dict = dict(
+        hidden_size=96, n_heads=4, n_layers=int(g["n_layers"]),
+        intermediate_size=384, pooler_size=96, hidden_dropout_prob=0.1,
+        attention_probs_dropout_prob=0.1, max_position_embeddings=514,
+        type_vocab_size=1, vocab_size=500, pad_token_id=1, num_locs=5,
+        image_embeddings="m3p", model="roberta", v_feature_size=2048,
+        v_hidden_size=96, v_num_attention_heads=4, v_intermediate_size=384,
+        norm_embeddings=True, fusion_method="text", itm_dim=1,
+        clf_hidden_size=192, emb_dim=96, n_words=500, n_langs=2,
+        id2lang={0: "en", 1: "de"}, lang2id={"en": 0, "de": 1}, eos_index=2,
+        pad_index=1, dropout=0.1, attention_dropout=0.1,
+        sinusoidal_embeddings=False, refine_layers=1, attention_setting="v1",
+        use_externel_att=False, gelu_activation=True, max_boxes=8,
+        visualization=False)
+    torch.manual_seed(0)
+    ref_cfg = RefM3PConfig.from_dict(cfg_dict)
+    task_cfg = {"TASK15": {"type": "VL-classifier-GQA", "num_labels": 50}}
+    model = M3PForVLTasks(ref_cfg, task_cfg, ["TASK15"])
+    missing, unexpected = model.load_state_dict(exported, strict=False)
+    assert not list(unexpected), unexpected
+    model.eval()
+    with torch.no_grad():
+        logits, _, _, _ = model(
+            torch.from_numpy(g["input_ids"]),
+            torch.from_numpy(g["features"]),
+            torch.from_numpy(g["locs"]), "TASK15",
+            attention_mask=torch.from_numpy(g["input_mask"]),
+            image_attention_mask=torch.from_numpy(g["image_mask"]))
+    np.testing.assert_allclose(logits.numpy(), g["logits"],
+                               rtol=1e-5, atol=1e-6)
