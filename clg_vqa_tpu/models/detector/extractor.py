@@ -158,3 +158,58 @@ class Extractor36:
             obj_conf=np.asarray(out["obj_conf"]),
             attr_id=np.asarray(out["attr_id"]),
             attr_conf=np.asarray(out["attr_conf"]))
+
+
+class GivenBoxExtractor:
+    """Features for externally supplied boxes — the reference's
+    detectron2_given_box_maxnms.py variant: skip RPN + NMS sweep, RoIPool the
+    given boxes, run res5 + predictors, return features/classes/attrs for
+    exactly the input boxes."""
+
+    def __init__(self, params: dict, cfg: ExtractorConfig | None = None,
+                 max_boxes: int = 36):
+        self.params = params
+        self.cfg = cfg or ExtractorConfig()
+        self.max_boxes = max_boxes
+        self._jitted = jax.jit(self._pipeline)
+
+    def _pipeline(self, params, image, boxes, n_valid):
+        c = self.cfg
+        feat = resnet.backbone_c4(image[None], params["backbone"])[0]
+        crops = roi_pool(jnp.moveaxis(feat, -1, 0), boxes,
+                         output_size=(c.pooler_size, c.pooler_size),
+                         spatial_scale=1.0 / c.stride)
+        pooled, _ = resnet.res5_head(jnp.moveaxis(crops, 1, -1),
+                                     params["res5"], halve=False)
+        cls_logits, attr_logits, _ = heads.box_predictor(
+            pooled, params["predictor"])
+        probs = jax.nn.softmax(cls_logits, axis=-1)
+        scores_fg = probs[:, :-1]
+        attr_prob = jax.nn.softmax(attr_logits[:, :-1], axis=-1)
+        return {
+            "features": pooled,
+            "obj_id": jnp.argmax(scores_fg, axis=1),
+            "obj_conf": jnp.max(scores_fg, axis=1),
+            "attr_id": jnp.argmax(attr_prob, axis=-1),
+            "attr_conf": jnp.max(attr_prob, axis=-1),
+        }
+
+    def extract(self, raw_bgr: np.ndarray, boxes_raw: np.ndarray,
+                image_id: str) -> RegionRecord:
+        """boxes_raw: [N, 4] xyxy in RAW image coordinates."""
+        pre = Extractor36(self.params, self.cfg)
+        img, (nh, nw), (rh, rw) = pre.preprocess(raw_bgr)
+        n = min(len(boxes_raw), self.max_boxes)
+        boxes_net = np.zeros((self.max_boxes, 4), np.float32)
+        boxes_net[:n] = boxes_raw[:n] * [nw / rw, nh / rh, nw / rw, nh / rh]
+        out = self._jitted(self.params, img, jnp.asarray(boxes_net),
+                           jnp.asarray(n))
+        return RegionRecord(
+            image_id=image_id,
+            features=np.asarray(out["features"][:n], np.float32),
+            boxes=np.asarray(boxes_raw[:n], np.float32),
+            img_w=float(rw), img_h=float(rh),
+            obj_id=np.asarray(out["obj_id"][:n]),
+            obj_conf=np.asarray(out["obj_conf"][:n]),
+            attr_id=np.asarray(out["attr_id"][:n]),
+            attr_conf=np.asarray(out["attr_conf"][:n]))

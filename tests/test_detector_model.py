@@ -269,3 +269,18 @@ def sorted_leaves(tree, path=()):
             out += sorted_leaves(v, path + (str(i),))
         return out
     return [("/".join(path), tree)]
+
+
+def test_given_box_extractor_smoke():
+    from clg_vqa_tpu.models.detector.extractor import (ExtractorConfig,
+                                                       GivenBoxExtractor,
+                                                       init_extractor_params)
+    cfg = ExtractorConfig(pad_h=128, pad_w=160, short=96, max_size=160)
+    params = init_extractor_params(jax.random.key(0))
+    ex = GivenBoxExtractor(params, cfg, max_boxes=4)
+    img = (np.random.RandomState(1).rand(100, 140, 3) * 255).astype(np.uint8)
+    boxes = np.asarray([[5, 5, 60, 60], [30, 20, 120, 90]], np.float32)
+    rec = ex.extract(img, boxes, "gb0")
+    assert rec.features.shape == (2, 2048)
+    np.testing.assert_array_equal(rec.boxes, boxes)
+    assert np.isfinite(rec.features).all()
