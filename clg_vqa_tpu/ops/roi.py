@@ -2,18 +2,21 @@
 CUDA ROIPool / ROIAlign kernels (SURVEY.md §2.3a/b:
 detectron2 ROIAlign_cuda.cu, maskrcnn-benchmark ROIPool_cuda.cu).
 
-Formulations chosen for XLA: everything is a fixed-shape gather + weighted
-sum; the per-bin reductions vectorize over (rois, bins, samples) with no
-data-dependent shapes. Forward-only (feature extraction is inference).
+Formulation: a ``fori_loop`` over the (small, static) per-bin sample window;
+each iteration performs ONE flat gather of shape [C, R, PH, PW] from the
+feature map and folds it into the accumulator. Peak memory is
+O(C·R·PH·PW) — independent of the window size and of the feature-map width —
+which is what lets 300 rois x 1024 channels x 14x14 bins fit on-chip (the
+naive two-stage advanced-indexing version materializes O(R·C·PH·win·W) and
+OOMs at production scale). Forward-only (feature extraction is inference).
 
 Semantics:
  - roi_align: detectron2/torchvision RoIAlign. ``aligned=True`` shifts
-   coordinates by -0.5 (pixel-center alignment); ``sampling_ratio`` grid
-   points per bin averaged; bilinear interpolation with edge clamping,
-   samples outside [-1, H] zeroed.
- - roi_pool: quantized max pooling (torchvision RoIPool): roi scaled by
-   ``spatial_scale`` and rounded, bins partitioned by floor/ceil, empty bins
-   yield 0.
+   coordinates by -0.5; ``sampling_ratio`` grid points per bin averaged;
+   bilinear interpolation with edge clamping, samples outside [-1, H] zeroed.
+ - roi_pool: quantized max pooling (torchvision RoIPool): rois scaled and
+   rounded in f32 (CUDA parity), exact integer bin boundaries
+   (fusion-order-safe), empty bins yield 0.
 """
 from __future__ import annotations
 
@@ -23,28 +26,53 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
-    """feat [C, H, W]; y/x [...] sample coords. Returns [..., C]."""
-    C, H, W = feat.shape
-    # torchvision/detectron2: samples with y < -1 or y > H are zero; then
-    # clamp to [0, H-1] for interpolation
-    inside = (y >= -1.0) & (y <= H) & (x >= -1.0) & (x <= W)
-    y = jnp.clip(y, 0.0, H - 1)
-    x = jnp.clip(x, 0.0, W - 1)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    ly, lx = y - y0, x - x0
-    hy, hx = 1.0 - ly, 1.0 - lx
+@partial(jax.jit, static_argnames=("output_size", "max_bin"))
+def roi_pool(features: jnp.ndarray, rois: jnp.ndarray, *,
+             output_size: tuple[int, int], spatial_scale: float,
+             max_bin: int = 16) -> jnp.ndarray:
+    """features [C, H, W]; rois [R, 4] xyxy input-image coords.
+    Returns [R, C, PH, PW]. ``max_bin`` bounds the per-bin window
+    (>= ceil(H·scale/PH)+1); larger bins are truncated."""
+    C, H, W = features.shape
+    PH, PW = output_size
+    R = rois.shape[0]
+    x1 = jnp.round(rois[:, 0] * spatial_scale).astype(jnp.int32)
+    y1 = jnp.round(rois[:, 1] * spatial_scale).astype(jnp.int32)
+    x2 = jnp.round(rois[:, 2] * spatial_scale).astype(jnp.int32)
+    y2 = jnp.round(rois[:, 3] * spatial_scale).astype(jnp.int32)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1)
+    roi_w = jnp.maximum(x2 - x1 + 1, 1)
 
-    def g(yy, xx):
-        return feat[:, yy, xx]          # [C, ...] via advanced indexing
+    # exact integer bin boundaries (float versions are fusion-order dependent
+    # when a boundary lands exactly on an integer, e.g. 7*(3/7) in f32)
+    ph = jnp.arange(PH)
+    pw = jnp.arange(PW)
+    hstart = jnp.clip((ph[None] * roi_h[:, None]) // PH + y1[:, None], 0, H)
+    hend = jnp.clip(((ph[None] + 1) * roi_h[:, None] + PH - 1) // PH
+                    + y1[:, None], 0, H)
+    wstart = jnp.clip((pw[None] * roi_w[:, None]) // PW + x1[:, None], 0, W)
+    wend = jnp.clip(((pw[None] + 1) * roi_w[:, None] + PW - 1) // PW
+                    + x1[:, None], 0, W)
 
-    val = (g(y0, x0) * (hy * hx) + g(y0, x1) * (hy * lx)
-           + g(y1, x0) * (ly * hx) + g(y1, x1) * (ly * lx))
-    val = jnp.where(inside, val, 0.0)
-    return jnp.moveaxis(val, 0, -1)     # [..., C]
+    flat = features.reshape(C, H * W)
+
+    def body(k, acc):
+        dy = k // max_bin
+        dx = k % max_bin
+        Y = hstart + dy                                   # [R, PH]
+        X = wstart + dx                                   # [R, PW]
+        valid = ((Y < hend)[:, :, None] & (X < wend)[:, None, :])
+        lin = (jnp.minimum(Y, H - 1)[:, :, None] * W
+               + jnp.minimum(X, W - 1)[:, None, :])       # [R, PH, PW]
+        vals = flat[:, lin.reshape(-1)].reshape(C, R, PH, PW)
+        vals = jnp.where(valid[None], vals, -jnp.inf)
+        return jnp.maximum(acc, vals)
+
+    acc = jax.lax.fori_loop(
+        0, max_bin * max_bin, body,
+        jnp.full((C, R, PH, PW), -jnp.inf, features.dtype))
+    acc = jnp.where(jnp.isfinite(acc), acc, 0.0)
+    return jnp.transpose(acc, (1, 0, 2, 3))
 
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "aligned"))
@@ -53,7 +81,9 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray, *,
               sampling_ratio: int = 2, aligned: bool = True) -> jnp.ndarray:
     """features [C, H, W]; rois [R, 4] xyxy in input-image coords.
     Returns [R, C, PH, PW]."""
+    C, H, W = features.shape
     PH, PW = output_size
+    R = rois.shape[0]
     S = sampling_ratio
     assert S >= 1, "adaptive sampling_ratio not supported; pass an int >= 1"
     off = 0.5 if aligned else 0.0
@@ -69,74 +99,36 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray, *,
     bin_h = rh / PH
     bin_w = rw / PW
 
-    iy = (jnp.arange(S) + 0.5) / S       # sample offsets within a bin
-    ph = jnp.arange(PH)
-    pw = jnp.arange(PW)
-    # y coords: [R, PH, S]
-    ys = (y1[:, None, None] + (ph[None, :, None] + iy[None, None, :])
-          * bin_h[:, None, None])
-    xs = (x1[:, None, None] + (pw[None, :, None] + iy[None, None, :])
-          * bin_w[:, None, None])
-    # broadcast to [R, PH, S, PW, S]
-    Y = ys[:, :, :, None, None]
-    X = xs[:, None, None, :, :]
-    Y, X = jnp.broadcast_arrays(Y, X)
-    vals = jax.vmap(lambda y, x: _bilinear(features, y, x))(
-        Y.reshape(Y.shape[0], -1), X.reshape(X.shape[0], -1))
-    vals = vals.reshape(Y.shape[0], PH, S, PW, S, -1)
-    out = vals.mean(axis=(2, 4))         # average the S*S samples
-    return jnp.moveaxis(out, -1, 1)      # [R, C, PH, PW]
+    ph = jnp.arange(PH, dtype=jnp.float32)
+    pw = jnp.arange(PW, dtype=jnp.float32)
+    flat = features.reshape(C, H * W)
 
+    def body(k, acc):
+        iy = (k // S).astype(jnp.float32)
+        ix = (k % S).astype(jnp.float32)
+        ys = y1[:, None] + (ph[None] + (iy + 0.5) / S) * bin_h[:, None]
+        xs = x1[:, None] + (pw[None] + (ix + 0.5) / S) * bin_w[:, None]
+        inside = ((ys >= -1.0) & (ys <= H))[:, :, None] \
+            & ((xs >= -1.0) & (xs <= W))[:, None, :]      # [R, PH, PW]
+        y = jnp.clip(ys, 0.0, H - 1)
+        x = jnp.clip(xs, 0.0, W - 1)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, H - 1)
+        x1i = jnp.minimum(x0 + 1, W - 1)
+        ly = (y - y0)[:, :, None]                         # [R, PH, 1]
+        lx = (x - x0)[:, None, :]                         # [R, 1, PW]
+        hy, hx = 1.0 - ly, 1.0 - lx
 
-@partial(jax.jit, static_argnames=("output_size", "max_bin"))
-def roi_pool(features: jnp.ndarray, rois: jnp.ndarray, *,
-             output_size: tuple[int, int], spatial_scale: float,
-             max_bin: int = 16) -> jnp.ndarray:
-    """Quantized max-pool RoI (torchvision RoIPool). features [C, H, W],
-    rois [R, 4] xyxy. Returns [R, C, PH, PW].
+        def g(yy, xx):
+            lin = (yy[:, :, None] * W + xx[:, None, :]).reshape(-1)
+            return flat[:, lin].reshape(C, R, PH, PW)
 
-    max_bin bounds the per-bin window (ceil(roi_extent / P) + 1); bins larger
-    than that are truncated — raise it for extreme aspect ratios.
-    """
-    C, H, W = features.shape
-    PH, PW = output_size
-    x1 = jnp.round(rois[:, 0] * spatial_scale).astype(jnp.int32)
-    y1 = jnp.round(rois[:, 1] * spatial_scale).astype(jnp.int32)
-    x2 = jnp.round(rois[:, 2] * spatial_scale).astype(jnp.int32)
-    y2 = jnp.round(rois[:, 3] * spatial_scale).astype(jnp.int32)
-    roi_h = jnp.maximum(y2 - y1 + 1, 1)
-    roi_w = jnp.maximum(x2 - x1 + 1, 1)
+        val = (g(y0, x0) * (hy * hx)[None] + g(y0, x1i) * (hy * lx)[None]
+               + g(y1i, x0) * (ly * hx)[None] + g(y1i, x1i) * (ly * lx)[None])
+        val = jnp.where(inside[None], val, 0.0)
+        return acc + val
 
-    # exact integer bin boundaries: floor(p*roi/P) and ceil((p+1)*roi/P) in
-    # integer arithmetic — float versions are fusion-order dependent when a
-    # boundary lands exactly on an integer (e.g. 7*(3/7) in f32)
-    ph = jnp.arange(PH)
-    pw = jnp.arange(PW)
-    hstart = jnp.clip((ph[None] * roi_h[:, None]) // PH
-                      + y1[:, None], 0, H)              # [R, PH]
-    hend = jnp.clip(((ph[None] + 1) * roi_h[:, None] + PH - 1) // PH
-                    + y1[:, None], 0, H)
-    wstart = jnp.clip((pw[None] * roi_w[:, None]) // PW
-                      + x1[:, None], 0, W)
-    wend = jnp.clip(((pw[None] + 1) * roi_w[:, None] + PW - 1) // PW
-                    + x1[:, None], 0, W)
-
-    dy = jnp.arange(max_bin)
-    dx = jnp.arange(max_bin)
-    # sample indices [R, PH, max_bin] clamped; mask marks in-window entries
-    ysel = jnp.minimum(hstart[:, :, None] + dy[None, None, :], H - 1)
-    ymask = (hstart[:, :, None] + dy[None, None, :]) < hend[:, :, None]
-    xsel = jnp.minimum(wstart[:, :, None] + dx[None, None, :], W - 1)
-    xmask = (wstart[:, :, None] + dx[None, None, :]) < wend[:, :, None]
-
-    # gather [R, PH, by, PW, bx, C]
-    def per_roi(ysel_r, ymask_r, xsel_r, xmask_r):
-        # feat[:, ysel_r, :] -> [C, PH, by, W]
-        fy = features[:, ysel_r, :]
-        fyx = fy[:, :, :, xsel_r]                    # [C, PH, by, PW, bx]
-        m = (ymask_r[:, :, None, None] & xmask_r[None, None, :, :])
-        fyx = jnp.where(m[None], fyx, -jnp.inf)
-        out = jnp.max(fyx, axis=(2, 4))              # [C, PH, PW]
-        return jnp.where(jnp.isfinite(out), out, 0.0)
-
-    return jax.vmap(per_roi)(ysel, ymask, xsel, xmask)
+    acc = jax.lax.fori_loop(0, S * S, body,
+                            jnp.zeros((C, R, PH, PW), jnp.float32))
+    return jnp.transpose(acc / (S * S), (1, 0, 2, 3)).astype(features.dtype)
