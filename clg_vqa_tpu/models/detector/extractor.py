@@ -96,9 +96,11 @@ class Extractor36:
             pre_nms_topk=c.pre_nms_topk, post_nms_topk=c.post_nms_topk,
             nms_thresh=c.rpn_nms_thresh, valid_mask=vmask)
 
+        # max_bin=8 covers the C4 window (ceil(84/14)+1); halves the
+        # sample-loop length vs the default
         crops = roi_pool(jnp.moveaxis(feat, -1, 0), boxes,
                          output_size=(c.pooler_size, c.pooler_size),
-                         spatial_scale=1.0 / c.stride)
+                         spatial_scale=1.0 / c.stride, max_bin=8)
         crops = jnp.moveaxis(crops, 1, -1)              # [R, 14, 14, 1024]
         pooled, _ = resnet.res5_head(crops, params["res5"], halve=False)
 
@@ -178,7 +180,7 @@ class GivenBoxExtractor:
         feat = resnet.backbone_c4(image[None], params["backbone"])[0]
         crops = roi_pool(jnp.moveaxis(feat, -1, 0), boxes,
                          output_size=(c.pooler_size, c.pooler_size),
-                         spatial_scale=1.0 / c.stride)
+                         spatial_scale=1.0 / c.stride, max_bin=8)
         pooled, _ = resnet.res5_head(jnp.moveaxis(crops, 1, -1),
                                      params["res5"], halve=False)
         cls_logits, attr_logits, _ = heads.box_predictor(

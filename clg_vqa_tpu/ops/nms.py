@@ -3,11 +3,15 @@
 The reference uses ``torchvision.ops.nms`` (detectron2_proposal_maxnms.py:8)
 and maskrcnn-benchmark's CUDA NMS with a 1600-iteration per-class host loop
 (SURVEY.md §2.3b). Greedy NMS is sequential by nature; the TPU-native
-formulation precomputes the [N, N] IoU matrix in one batched op (MXU/VPU
-friendly) and runs the O(N) suppression recurrence in a ``lax.fori_loop``
-over static shapes — no dynamic output sizes, no host round-trips. Per-class
-NMS vmaps the recurrence over the class axis so all 1600 classes are
-suppressed in parallel instead of looping on the host.
+formulation here is **select-max-and-suppress**: K iterations (K = requested
+outputs, e.g. 300 for the RPN — not N = candidates, e.g. 6000), each picking
+the argmax of the remaining scores and vectorially suppressing its
+overlaps. This is exactly equivalent to sorted greedy NMS truncated to K
+outputs, needs no [N, N] IoU matrix (IoU rows are computed on the fly), and
+turns the reference's O(N)-deep dependency chain into O(K).
+
+Per-class NMS vmaps the recurrence over the class axis so all 1600 classes
+are suppressed in parallel instead of looping on the host.
 
 Outputs follow torchvision semantics: kept indices in descending-score order.
 """
@@ -18,10 +22,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+NEG = -jnp.inf
+
 
 def iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise IoU, boxes [N, 4] xyxy (area = (x2-x1)*(y2-y1), the
-    torchvision convention without +1)."""
+    """Pairwise IoU, boxes [N, 4] xyxy (torchvision convention, no +1)."""
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     area = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
     lt_x = jnp.maximum(x1[:, None], x1[None, :])
@@ -33,19 +38,17 @@ def iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-def _suppress(iou_sorted: jnp.ndarray, valid: jnp.ndarray,
-              iou_threshold: float) -> jnp.ndarray:
-    """Greedy suppression over score-sorted boxes. keep[i] = no earlier kept
-    box overlaps it above threshold. Returns keep mask [N] (sorted order)."""
-    n = iou_sorted.shape[0]
-    over = iou_sorted > iou_threshold
-    idx = jnp.arange(n)
-
-    def body(i, keep):
-        sup = jnp.any(keep & over[:, i] & (idx < i))
-        return keep.at[i].set(keep[i] & ~sup)
-
-    return jax.lax.fori_loop(0, n, body, valid)
+def _iou_row(box: jnp.ndarray, boxes: jnp.ndarray, areas: jnp.ndarray
+             ) -> jnp.ndarray:
+    """IoU of one box [4] against all boxes [N, 4]."""
+    a = jnp.maximum(box[2] - box[0], 0) * jnp.maximum(box[3] - box[1], 0)
+    lt_x = jnp.maximum(box[0], boxes[:, 0])
+    lt_y = jnp.maximum(box[1], boxes[:, 1])
+    rb_x = jnp.minimum(box[2], boxes[:, 2])
+    rb_y = jnp.minimum(box[3], boxes[:, 3])
+    inter = jnp.maximum(rb_x - lt_x, 0) * jnp.maximum(rb_y - lt_y, 0)
+    union = a + areas - inter
+    return jnp.where(union > 0, inter / union, 0.0)
 
 
 @partial(jax.jit, static_argnames=("max_outputs",))
@@ -56,19 +59,31 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
 
     Returns (indices [K], keep_mask [K]) where K = max_outputs or N; indices
     are original-array positions in descending-score order, padded (mask=0)
-    past the number of survivors.
-    """
+    past the number of survivors. Ties broken by lower index (stable, like
+    the sorted reference)."""
     n = boxes.shape[0]
-    order = jnp.argsort(-scores)
-    v = jnp.ones((n,), bool) if valid is None else valid[order].astype(bool)
-    iou_s = iou_matrix(boxes[order])
-    keep_sorted = _suppress(iou_s, v, iou_threshold)
-
     k = max_outputs or n
-    # stable-compact survivors to the front, preserving score order
-    rank = jnp.where(keep_sorted, jnp.arange(n), n + jnp.arange(n))
-    perm = jnp.argsort(rank)[:k]
-    return order[perm], keep_sorted[perm]
+    areas = (jnp.maximum(boxes[:, 2] - boxes[:, 0], 0)
+             * jnp.maximum(boxes[:, 3] - boxes[:, 1], 0))
+    live = jnp.where(valid if valid is not None else True,
+                     scores.astype(jnp.float32), NEG)
+
+    def body(i, carry):
+        live, out_idx, out_keep = carry
+        j = jnp.argmax(live)                      # stable: first max wins
+        ok = live[j] > NEG
+        row = _iou_row(boxes[j], boxes, areas)
+        suppress = row > iou_threshold
+        live = jnp.where(ok & suppress, NEG, live)
+        live = live.at[j].set(NEG)
+        out_idx = out_idx.at[i].set(jnp.where(ok, j, 0))
+        out_keep = out_keep.at[i].set(ok)
+        return live, out_idx, out_keep
+
+    _, idx, keep = jax.lax.fori_loop(
+        0, k, body,
+        (live, jnp.zeros((k,), jnp.int32), jnp.zeros((k,), bool)))
+    return idx, keep
 
 
 @partial(jax.jit, static_argnames=("max_outputs",))
@@ -78,8 +93,7 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     """Per-class NMS, all classes in parallel.
 
     boxes: [C, N, 4] (or [N, 4] shared), scores: [C, N].
-    Returns (indices [C, K], keep [C, K]).
-    """
+    Returns (indices [C, K], keep [C, K])."""
     if boxes.ndim == 2:
         boxes = jnp.broadcast_to(boxes[None], (scores.shape[0],) + boxes.shape)
     fn = jax.vmap(lambda b, s, v: nms(b, s, iou_threshold,
