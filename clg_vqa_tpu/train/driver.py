@@ -14,6 +14,7 @@ Three recipes:
 from __future__ import annotations
 
 import os
+import signal
 from typing import Any, Callable
 
 import jax
@@ -52,8 +53,19 @@ class FinetuneRunner:
         self.eval_bs = eval_batch_size or task_cfg.eval_batch_size
         os.makedirs(output_dir, exist_ok=True)
         self.logger = MetricsLogger(output_dir, task_cfg.name)
+        # preemption handling (absent in the reference, SURVEY.md §5): on
+        # SIGTERM/SIGINT finish the current step, checkpoint, then exit
+        self._preempted = False
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, self._on_preempt)
+            except ValueError:
+                pass        # non-main thread (e.g. under test runners)
         self.eval_step = jax.jit(make_eval_step(
             model_forward, cfg, compute_dtype=compute_dtype))
+
+    def _on_preempt(self, signum, frame):
+        self._preempted = True
 
     # -- plumbing ---------------------------------------------------------
 
@@ -103,6 +115,13 @@ class FinetuneRunner:
                                    float(m["score"]), 0.0)
             if log_every and (i + 1) % log_every == 0:
                 self.logger.show_train(epoch)
+            if self._preempted:
+                ckpt.save_state(self.out, state, epoch=epoch - 1,
+                                best_score=-1.0,
+                                extra={"logger": self.logger.state_dict(),
+                                       "preempted_mid_epoch": epoch})
+                raise SystemExit(
+                    f"preempted: state checkpointed to {self.out}")
         self.logger.show_train(epoch)
         return state
 
