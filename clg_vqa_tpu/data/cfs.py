@@ -31,7 +31,6 @@ clg_vqa_tpu/data/convert_store.py.
 from __future__ import annotations
 
 import mmap
-import os
 import struct
 
 import numpy as np

@@ -19,7 +19,7 @@ import dataclasses
 import json
 import os
 import pickle
-from typing import Any
+
 
 import numpy as np
 

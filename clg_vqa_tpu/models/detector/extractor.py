@@ -16,8 +16,7 @@ with objectness masked beyond the valid feature extent.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +41,7 @@ def resize_shortest_edge(h: int, w: int, short: int = 800,
 @dataclasses.dataclass
 class ExtractorConfig:
     num_boxes: int = 36
+    bf16: bool = True           # backbone/res5 convs in bf16 (f32 boxes/NMS)
     pooler_size: int = 14
     stride: int = 16
     pre_nms_topk: int = 6000
@@ -79,10 +79,18 @@ class Extractor36:
         """image [pad_h, pad_w, 3] BGR mean-subtracted; valid_hw = (h, w) of
         the resized (unpadded) content."""
         c = self.cfg
+        if c.bf16:
+            # MXU-native convs; box/score math stays f32 below (bf16's 8-bit
+            # mantissa is too coarse for pixel coordinates up to 1333)
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
+            image = image.astype(jnp.bfloat16)
         feat = resnet.backbone_c4(image[None], params["backbone"])[0]
 
         obj, deltas = rpn.rpn_head(feat[None], params["rpn"])
-        obj, deltas = obj[0], deltas[0]
+        obj = obj[0].astype(jnp.float32)
+        deltas = deltas[0].astype(jnp.float32)
         # mask anchors whose cell lies beyond the valid feature extent
         vh = -(-valid_hw[0] // c.stride)
         vw = -(-valid_hw[1] // c.stride)
@@ -103,9 +111,11 @@ class Extractor36:
                          spatial_scale=1.0 / c.stride, max_bin=8)
         crops = jnp.moveaxis(crops, 1, -1)              # [R, 14, 14, 1024]
         pooled, _ = resnet.res5_head(crops, params["res5"], halve=False)
+        pooled = pooled.astype(jnp.float32)
 
         cls_logits, attr_logits, bdeltas = heads.box_predictor(
-            pooled, params["predictor"])
+            pooled, jax.tree.map(lambda x: x.astype(jnp.float32),
+                                 params["predictor"]))
         probs = jax.nn.softmax(cls_logits, axis=-1)
         boxes_pc = heads.predict_boxes(boxes, bdeltas)
         attr_prob = jax.nn.softmax(attr_logits[:, :-1], axis=-1)

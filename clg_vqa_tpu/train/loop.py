@@ -20,7 +20,6 @@ volta/volta/task_utils.py:308-434) in one compiled XLA program per step:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax
