@@ -24,6 +24,7 @@ import numpy as np
 
 from ...data.features import RegionRecord
 from ...ops.roi import roi_pool
+from ...ops.roi_pallas import roi_pool_pallas
 from . import heads, resnet, rpn
 
 PIXEL_MEAN_BGR = (102.9801, 115.9465, 122.7717)
@@ -42,6 +43,7 @@ def resize_shortest_edge(h: int, w: int, short: int = 800,
 class ExtractorConfig:
     num_boxes: int = 36
     bf16: bool = True           # backbone/res5 convs in bf16 (f32 boxes/NMS)
+    use_pallas_roi: bool = True  # Pallas RoIPool kernel on TPU backends
     pooler_size: int = 14
     stride: int = 16
     pre_nms_topk: int = 6000
@@ -104,12 +106,17 @@ class Extractor36:
             pre_nms_topk=c.pre_nms_topk, post_nms_topk=c.post_nms_topk,
             nms_thresh=c.rpn_nms_thresh, valid_mask=vmask)
 
-        # max_bin=8 covers the C4 window (ceil(84/14)+1); halves the
-        # sample-loop length vs the default
-        crops = roi_pool(jnp.moveaxis(feat, -1, 0), boxes,
-                         output_size=(c.pooler_size, c.pooler_size),
-                         spatial_scale=1.0 / c.stride, max_bin=8)
-        crops = jnp.moveaxis(crops, 1, -1)              # [R, 14, 14, 1024]
+        # max_bin=8 covers the C4 window (ceil(84/14)+1)
+        if c.use_pallas_roi and jax.default_backend() == "tpu":
+            # Pallas kernel: feature block stays VMEM-resident across rois
+            crops = roi_pool_pallas(
+                feat, boxes, output_size=(c.pooler_size, c.pooler_size),
+                spatial_scale=1.0 / c.stride, max_bin=8)  # [R, 14, 14, C]
+        else:
+            crops = roi_pool(jnp.moveaxis(feat, -1, 0), boxes,
+                             output_size=(c.pooler_size, c.pooler_size),
+                             spatial_scale=1.0 / c.stride, max_bin=8)
+            crops = jnp.moveaxis(crops, 1, -1)          # [R, 14, 14, 1024]
         pooled, _ = resnet.res5_head(crops, params["res5"], halve=False)
         pooled = pooled.astype(jnp.float32)
 

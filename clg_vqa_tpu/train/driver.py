@@ -35,7 +35,8 @@ class FinetuneRunner:
                  task_cfg: TaskConfig, optim_cfg: OptimConfig,
                  output_dir: str, model_name: str = "uc2",
                  compute_dtype=jnp.bfloat16, seed: int = 0,
-                 eval_batch_size: int | None = None):
+                 eval_batch_size: int | None = None,
+                 eval_steps: int | None = None):
         self.fwd = model_forward
         self.cfg = cfg
         self.params0 = params0
@@ -51,6 +52,7 @@ class FinetuneRunner:
         self.compute_dtype = compute_dtype
         self.seed = seed
         self.eval_bs = eval_batch_size or task_cfg.eval_batch_size
+        self.eval_steps = eval_steps      # mid-epoch eval cadence (optional)
         os.makedirs(output_dir, exist_ok=True)
         self.logger = MetricsLogger(output_dir, task_cfg.name)
         # preemption handling (absent in the reference, SURVEY.md §5): on
@@ -115,6 +117,9 @@ class FinetuneRunner:
                                    float(m["score"]), 0.0)
             if log_every and (i + 1) % log_every == 0:
                 self.logger.show_train(epoch)
+            if (self.eval_steps and (i + 1) % self.eval_steps == 0
+                    and self.val_ds is not None):
+                self.evaluate(state.params, epoch)
             if self._preempted:
                 ckpt.save_state(self.out, state, epoch=epoch - 1,
                                 best_score=-1.0,

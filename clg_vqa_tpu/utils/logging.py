@@ -92,3 +92,28 @@ class MetricsLogger:
         for f in (self._jsonl, self._txt):
             if f:
                 f.close()
+
+
+def summarize_params(params, print_fn=print) -> int:
+    """Parameter table (the reference's summary_parameters,
+    train_utils.py:321-348): path, shape, count per leaf + total."""
+    total = 0
+
+    def walk(tree, path=()):
+        nonlocal total
+        if isinstance(tree, dict):
+            for k in sorted(tree):
+                walk(tree[k], path + (str(k),))
+        elif isinstance(tree, (list, tuple)):
+            for i, v in enumerate(tree):
+                walk(v, path + (str(i),))
+        else:
+            import numpy as np
+            n = int(np.prod(np.shape(tree))) if np.shape(tree) else 1
+            total += n
+            print_fn(f"{'/'.join(path):60s} {str(np.shape(tree)):>20s} "
+                     f"{n:>12,d}")
+
+    walk(params)
+    print_fn(f"{'TOTAL':60s} {'':>20s} {total:>12,d}")
+    return total

@@ -188,3 +188,22 @@ def test_roi_pool_14x14_c4_shape():
     assert out.shape == (300, 8, 14, 14)
     ref = np_roi_pool(feat, rois, (14, 14), 1 / 16)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_roi_pool_pallas_matches_xla():
+    """Pallas RoIPool (interpret mode) == the XLA op == the oracle."""
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.ops.roi_pallas import roi_pool_pallas
+    r = np.random.RandomState(11)
+    C, H, W = 128, 20, 24
+    feat = r.randn(H, W, C).astype(np.float32)
+    rois = rand_boxes(r, 9, H * 8, W * 8)
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(roi_pool_pallas(
+            jnp.asarray(feat), jnp.asarray(rois), output_size=(7, 7),
+            spatial_scale=0.125, max_bin=8))
+    ref = np.asarray(roi_pool(
+        jnp.asarray(feat.transpose(2, 0, 1)), jnp.asarray(rois),
+        output_size=(7, 7), spatial_scale=0.125, max_bin=8))
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref,
+                               rtol=1e-6, atol=1e-6)
