@@ -29,17 +29,19 @@ C_BLOCK = 128
 
 def _kernel(hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref, *,
             max_bin: int, PH: int, PW: int, H: int, W: int):
-    # hs/he [1, PH], ws/we [1, PW] int32; feat [H, W, Cb]; out [1, PH, PW, Cb]
+    # scalar-prefetch: hs/he [R, PH], ws/we [R, PW] int32 (whole arrays in
+    # SMEM); feat block [H, W, Cb]; out block [1, PH, PW, Cb]
+    r = pl.program_id(1)
     neg = jnp.finfo(jnp.float32).min
 
     def bin_body(ph, _):
-        hs = hs_ref[0, ph]
-        he = he_ref[0, ph]
+        hs = hs_ref[r, ph]
+        he = he_ref[r, ph]
         hbase = jnp.clip(hs, 0, max(H - max_bin, 0))
 
         def col_body(pw, _):
-            ws = ws_ref[0, pw]
-            we = we_ref[0, pw]
+            ws = ws_ref[r, pw]
+            we = we_ref[r, pw]
             wbase = jnp.clip(ws, 0, max(W - max_bin, 0))
             win = feat_ref[pl.ds(hbase, max_bin),
                            pl.ds(wbase, max_bin), :].astype(jnp.float32)
@@ -91,24 +93,18 @@ def roi_pool_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
     n_cb = -(-C // C_BLOCK)
     kern = functools.partial(_kernel, max_bin=max_bin, PH=PH, PW=PW,
                              H=H, W=W)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,       # hs/he/ws/we live whole in SMEM
+        grid=(n_cb, R),              # R fastest: feat block stays resident
+        in_specs=[
+            pl.BlockSpec((H, W, C_BLOCK), lambda c, r, *_: (0, 0, c)),
+        ],
+        out_specs=pl.BlockSpec((1, PH, PW, C_BLOCK),
+                               lambda c, r, *_: (r, 0, 0, c)),
+    )
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((R, PH, PW, C), features.dtype),
-        grid=(n_cb, R),              # R fastest: feat block stays resident
-        in_specs=[
-            pl.BlockSpec((1, PH), lambda c, r: (r, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, PH), lambda c, r: (r, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, PW), lambda c, r: (r, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, PW), lambda c, r: (r, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((H, W, C_BLOCK), lambda c, r: (0, 0, c),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, PH, PW, C_BLOCK),
-                               lambda c, r: (r, 0, 0, c),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
     )(hstart, hend, wstart, wend, features)
     return out
