@@ -35,6 +35,7 @@ class X101Config:
     short: int = 800
     max_size: int = 1333
     num_classes: int = 1600
+    bf16: bool = True
 
 
 def init_x101_params(rng) -> dict:
@@ -75,6 +76,13 @@ class ExtractorX101:
 
     def _pipeline(self, params, image, valid_hw):
         c = self.cfg
+        if c.bf16:
+            bb = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                              if x.dtype == jnp.float32 else x,
+                              {"backbone": params["backbone"],
+                               "fpn": params["fpn"]})
+            params = {**params, **bb}
+            image = image.astype(jnp.bfloat16)
         stages = resnet.backbone_stages(image[None], params["backbone"],
                                         groups=32, caffe_pool=False)
         pyr = F.fpn(stages, params["fpn"])
@@ -82,7 +90,8 @@ class ExtractorX101:
         all_boxes, all_scores, all_valid = [], [], []
         for lvl, (feat, anchors, stride) in enumerate(
                 zip(pyr, self._anchors, self._strides)):
-            obj, deltas = rpn.rpn_head(feat, params["rpn"])
+            obj, deltas = rpn.rpn_head(
+                feat.astype(jnp.float32), params["rpn"])
             obj, deltas = obj[0], deltas[0]
             vh = -(-valid_hw[0] // stride)
             vw = -(-valid_hw[1] // stride)
@@ -104,7 +113,8 @@ class ExtractorX101:
         proposals = boxes[top_i]
         pvalid = jnp.isfinite(top_s)
 
-        crops = F.multilevel_roi_align(pyr, proposals)
+        pyr32 = [p.astype(jnp.float32) for p in pyr]
+        crops = F.multilevel_roi_align(pyr32, proposals)
         fc6, fc7 = F.box_head_fc(crops, params["box_head"])
         cls_logits = fc7 @ params["predictor"]["cls_score"]["w"] \
             + params["predictor"]["cls_score"]["b"]

@@ -42,13 +42,17 @@ def _kernel(hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref, *,
         def col_body(pw, _):
             ws = ws_ref[r, pw]
             we = we_ref[r, pw]
-            wbase = jnp.clip(ws, 0, max(W - max_bin, 0))
+            # W is the sublane dim: Mosaic needs the dynamic start to be a
+            # provable multiple of 8 — align down and widen the window
+            wwin = max_bin + 8
+            wbase = jnp.clip((ws // 8) * 8, 0, max(W - wwin, 0))
+            wbase = pl.multiple_of(wbase, 8)
             win = feat_ref[pl.ds(hbase, max_bin),
-                           pl.ds(wbase, max_bin), :].astype(jnp.float32)
+                           pl.ds(wbase, wwin), :].astype(jnp.float32)
             ry = hbase + jax.lax.broadcasted_iota(
-                jnp.int32, (max_bin, max_bin), 0)
+                jnp.int32, (max_bin, wwin), 0)
             rx = wbase + jax.lax.broadcasted_iota(
-                jnp.int32, (max_bin, max_bin), 1)
+                jnp.int32, (max_bin, wwin), 1)
             m = (ry >= hs) & (ry < he) & (rx >= ws) & (rx < we)
             win = jnp.where(m[:, :, None], win, neg)
             mx = jnp.max(win, axis=(0, 1))
