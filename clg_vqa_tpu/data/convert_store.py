@@ -133,3 +133,43 @@ def cfs_to_lmdb(cfs_path: str, lmdb_path: str) -> int:
             }))
         txn.put(b"keys", pickle.dumps(keys))
     return rd.n_records
+
+
+# BUTD TSV schema (features_extraction/tsv_to_h5.py:15-16)
+TSV_FIELDNAMES = ["img_id", "img_h", "img_w", "objects_id", "objects_conf",
+                  "attrs_id", "attrs_conf", "num_boxes", "boxes", "features"]
+
+
+def tsv_to_cfs(tsv_path: str, cfs_path: str, *, feat_dim: int = 2048,
+               topk: int | None = None) -> int:
+    """BUTD TSV feature dump -> CFS (the reference's tsv_to_h5.py /
+    convert_vg_gqa_lmdb.py stage). Fields are b64-encoded numpy buffers."""
+    import csv
+    import sys
+    csv.field_size_limit(sys.maxsize)
+    n = 0
+    with open(tsv_path) as f, CfsWriter(cfs_path) as w:
+        reader = csv.DictReader(f, TSV_FIELDNAMES, delimiter="\t")
+        for item in reader:
+            nb = int(item["num_boxes"])
+            boxes = np.frombuffer(base64.b64decode(item["boxes"]),
+                                  np.float32).reshape(nb, 4)
+            feats = np.frombuffer(base64.b64decode(item["features"]),
+                                  np.float32).reshape(nb, feat_dim)
+            obj_id = np.frombuffer(base64.b64decode(item["objects_id"]),
+                                   np.int64).astype(np.int32)
+            obj_conf = np.frombuffer(base64.b64decode(item["objects_conf"]),
+                                     np.float32)
+            attr_id = np.frombuffer(base64.b64decode(item["attrs_id"]),
+                                    np.int64).astype(np.int32)
+            attr_conf = np.frombuffer(base64.b64decode(item["attrs_conf"]),
+                                      np.float32)
+            w.add(RegionRecord(
+                image_id=str(item["img_id"]), features=feats, boxes=boxes,
+                img_w=float(item["img_w"]), img_h=float(item["img_h"]),
+                obj_id=obj_id, obj_conf=obj_conf, attr_id=attr_id,
+                attr_conf=attr_conf))
+            n += 1
+            if topk and n >= topk:
+                break
+    return n

@@ -33,37 +33,34 @@ def _kernel(hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref, *,
     # SMEM); feat block [H, W, Cb]; out block [1, PH, PW, Cb]
     r = pl.program_id(1)
     neg = jnp.finfo(jnp.float32).min
+    wwin = max_bin + 8
 
-    def bin_body(ph, _):
+    # both bin loops are PYTHON-static: Mosaic requires static (or provably
+    # 8-aligned) indices on the sublane dim for the out write, and static
+    # unrolling of 14x14 bins keeps every out_ref index literal
+    for ph in range(PH):
         hs = hs_ref[r, ph]
         he = he_ref[r, ph]
         hbase = jnp.clip(hs, 0, max(H - max_bin, 0))
-
-        def col_body(pw, _):
+        for pw in range(PW):
             ws = ws_ref[r, pw]
             we = we_ref[r, pw]
-            # W is the sublane dim: Mosaic needs the dynamic start to be a
-            # provable multiple of 8 — align down and widen the window
-            wwin = max_bin + 8
+            # W is the sublane dim of the feature block: align the dynamic
+            # start down to a multiple of 8 and widen the window
             wbase = jnp.clip((ws // 8) * 8, 0, max(W - wwin, 0))
             wbase = pl.multiple_of(wbase, 8)
             win = feat_ref[pl.ds(hbase, max_bin),
                            pl.ds(wbase, wwin), :].astype(jnp.float32)
-            ry = hbase + jax.lax.broadcasted_iota(
-                jnp.int32, (max_bin, wwin), 0)
-            rx = wbase + jax.lax.broadcasted_iota(
-                jnp.int32, (max_bin, wwin), 1)
+            # full-3D int32 iota masks: minor-dim insertion on narrow types
+            # is unsupported by Mosaic
+            shape3 = (max_bin, wwin, win.shape[-1])
+            ry = hbase + jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
+            rx = wbase + jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
             m = (ry >= hs) & (ry < he) & (rx >= ws) & (rx < we)
-            win = jnp.where(m[:, :, None], win, neg)
+            win = jnp.where(m, win, neg)
             mx = jnp.max(win, axis=(0, 1))
             out_ref[0, ph, pw, :] = jnp.where(
                 mx > neg, mx, 0.0).astype(out_ref.dtype)
-            return 0
-
-        jax.lax.fori_loop(0, PW, col_body, 0)
-        return 0
-
-    jax.lax.fori_loop(0, PH, bin_body, 0)
 
 
 @functools.partial(jax.jit,

@@ -112,3 +112,33 @@ def test_cfs_v2_detection_metadata_roundtrip(tmp_path):
     f_p, l_p, m_p = rd._gather_py(np.array([0, 1]), 6, 5, False, None)
     np.testing.assert_allclose(f_c, f_p, rtol=1e-6)
     np.testing.assert_array_equal(m_c, m_p)
+
+
+def test_tsv_to_cfs(tmp_path):
+    """BUTD TSV -> CFS conversion (tsv_to_h5.py schema)."""
+    import base64 as b64
+    from clg_vqa_tpu.data.convert_store import tsv_to_cfs
+    r = np.random.RandomState(3)
+    rows = []
+    for i in range(3):
+        n = r.randint(2, 6)
+        boxes = (r.rand(n, 4) * 100).astype(np.float32)
+        feats = r.randn(n, 16).astype(np.float32)
+        rows.append("\t".join([
+            f"img{i}", "480", "640",
+            b64.b64encode(r.randint(0, 1600, n).astype(np.int64).tobytes()).decode(),
+            b64.b64encode(r.rand(n).astype(np.float32).tobytes()).decode(),
+            b64.b64encode(r.randint(0, 400, n).astype(np.int64).tobytes()).decode(),
+            b64.b64encode(r.rand(n).astype(np.float32).tobytes()).decode(),
+            str(n),
+            b64.b64encode(boxes.tobytes()).decode(),
+            b64.b64encode(feats.tobytes()).decode(),
+        ]))
+    tsv = tmp_path / "t.tsv"
+    tsv.write_text("\n".join(rows))
+    out = str(tmp_path / "t.cfs")
+    assert tsv_to_cfs(str(tsv), out, feat_dim=16) == 3
+    rd = CfsReader(out)
+    rec = rd.get("img1")
+    assert rec.features.shape[1] == 16
+    assert rec.obj_id is not None and rec.obj_id.dtype == np.int32
