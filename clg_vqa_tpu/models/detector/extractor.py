@@ -155,8 +155,9 @@ class Extractor36:
         c = self.cfg
         rh, rw = raw_bgr.shape[:2]
         nh, nw = resize_shortest_edge(rh, rw, c.short, c.max_size)
-        img = jax.image.resize(jnp.asarray(raw_bgr, jnp.float32),
-                               (nh, nw, 3), method="linear")
+        # upload uint8 (4x less host->device traffic), convert on device
+        img = jnp.asarray(np.ascontiguousarray(raw_bgr)).astype(jnp.float32)
+        img = jax.image.resize(img, (nh, nw, 3), method="linear")
         img = img - jnp.asarray(PIXEL_MEAN_BGR)
         pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
         img = pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w])
@@ -168,15 +169,15 @@ class Extractor36:
                            jnp.asarray((nh, nw), jnp.int32))
         # rescale boxes from network-input coords to the raw image
         boxes = heads.rescale_boxes(out["boxes"], rw / nw, rh / nh, (rh, rw))
+        # one device->host transfer for all outputs
+        host = jax.device_get({**out, "boxes": boxes})
         return RegionRecord(
             image_id=image_id,
-            features=np.asarray(out["features"], np.float32),
-            boxes=np.asarray(boxes, np.float32),
+            features=np.asarray(host["features"], np.float32),
+            boxes=np.asarray(host["boxes"], np.float32),
             img_w=float(rw), img_h=float(rh),
-            obj_id=np.asarray(out["obj_id"]),
-            obj_conf=np.asarray(out["obj_conf"]),
-            attr_id=np.asarray(out["attr_id"]),
-            attr_conf=np.asarray(out["attr_conf"]))
+            obj_id=host["obj_id"], obj_conf=host["obj_conf"],
+            attr_id=host["attr_id"], attr_conf=host["attr_conf"])
 
 
 class GivenBoxExtractor:
