@@ -31,10 +31,13 @@ def _train_like(args, mode: str):
         else None
     feat_train = args.features_path or task_cfg.features_path_train
     feat_val = task_cfg.features_path_val or feat_train
-    train_ds = C.build_dataset(args, cfg, task_cfg, task_cfg.train_split,
-                               feat_train, code_mixer=code_mixer)
-    val_ds = C.build_dataset(args, cfg, task_cfg, task_cfg.val_split,
-                             feat_val)
+    train_ds = C.build_dataset(
+        args, cfg, task_cfg, task_cfg.train_split, feat_train,
+        annotations_jsonpath=args.train_annotations_jsonpath,
+        code_mixer=code_mixer)
+    val_ds = C.build_dataset(
+        args, cfg, task_cfg, task_cfg.val_split, feat_val,
+        annotations_jsonpath=args.val_annotations_jsonpath)
     micro_bs = task_cfg.batch_size // optim_cfg.grad_acc_steps
     pipe = TrainPipeline(train_ds, micro_batch_size=micro_bs,
                          grad_acc_steps=optim_cfg.grad_acc_steps,

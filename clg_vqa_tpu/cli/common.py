@@ -30,6 +30,10 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="override the task config's feature store path "
                         "(.cfs or LMDB dir)")
     p.add_argument("--dataroot", default="", help="override dataroot")
+    p.add_argument("--train_annotations_jsonpath", default="",
+                   help="explicit annotations for train_* / dev_* few-shot "
+                        "splits (xGQA)")
+    p.add_argument("--val_annotations_jsonpath", default="")
     p.add_argument("--fp32", action="store_true",
                    help="disable bf16 compute (parity mode)")
     return p

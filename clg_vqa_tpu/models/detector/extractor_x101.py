@@ -133,21 +133,23 @@ class ExtractorX101:
         from .extractor import PIXEL_MEAN_BGR, resize_shortest_edge
         c = self.cfg
         rh, rw = raw_bgr.shape[:2]
-        img = np.asarray(raw_bgr, np.float32)[:, :, ::-1]   # BGR -> RGB flip
-        img = img - np.asarray(PIXEL_MEAN_BGR, np.float32)  # (quirk: BGR means)
+        # upload uint8, flip + mean-subtract on device (BGR->RGB flip before
+        # subtracting the BGR means — the reference's quirk)
+        img = jnp.asarray(np.ascontiguousarray(raw_bgr))[:, :, ::-1]             .astype(jnp.float32)
+        img = img - jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
         nh, nw = resize_shortest_edge(rh, rw, c.short, c.max_size)
-        img = jax.image.resize(jnp.asarray(img), (nh, nw, 3), method="linear")
+        img = jax.image.resize(img, (nh, nw, 3), method="linear")
         pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
         return pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w]), (nh, nw), (rh, rw)
 
     def extract(self, raw_bgr: np.ndarray, image_id: str) -> RegionRecord:
         img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
-        out = self._jitted(self.params, img, jnp.asarray((nh, nw), jnp.int32))
+        out = jax.device_get(
+            self._jitted(self.params, img, jnp.asarray((nh, nw), jnp.int32)))
         scale = nh / rh
         boxes = np.asarray(out["boxes"], np.float32) / scale
         return RegionRecord(
             image_id=image_id,
             features=np.asarray(out["features"], np.float32),
             boxes=boxes, img_w=float(rw), img_h=float(rh),
-            obj_id=np.asarray(out["obj_id"]),
-            obj_conf=np.asarray(out["obj_conf"]))
+            obj_id=out["obj_id"], obj_conf=out["obj_conf"])
