@@ -151,3 +151,32 @@ def init_embedding(rng, n: int, d: int, std: float,
     if padding_idx is not None:
         e = e.at[padding_idx].set(0.0)
     return e
+
+
+@jax.custom_vjp
+def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """table[ids] with a sorted-scatter backward.
+
+    A standalone unsorted scatter-add of 5120 updates into [250002, 768]
+    measures 159 ms on v5e vs 0.6 ms with pre-sorted indices (bit-identical
+    result). Inside the fully fused train step XLA already schedules the
+    embedding grad efficiently (no end-to-end delta measured), so this is a
+    guard against the slow path surfacing in other program shapes."""
+    return table[ids]
+
+
+def _emb_fwd(table, ids):
+    return table[ids], (ids, table.shape)
+
+
+def _emb_bwd(res, g):
+    ids, shape = res
+    flat_ids = ids.reshape(-1)
+    gf = g.reshape(-1, shape[-1])
+    order = jnp.argsort(flat_ids)
+    dtable = jnp.zeros(shape, g.dtype).at[flat_ids[order]].add(
+        gf[order], indices_are_sorted=True)
+    return dtable, None
+
+
+embedding_lookup.defvjp(_emb_fwd, _emb_bwd)

@@ -103,7 +103,8 @@ def encode(params: Params, cfg: M3PConfig, batch: dict, *,
     if not deterministic:
         img = L.dropout(img, cfg.dropout, jax.random.fold_in(rng, 10), False)
 
-    h = jnp.concatenate([img, e["word"][input_ids]], axis=1)    # [B, S, H]
+    h = jnp.concatenate([img, L.embedding_lookup(e["word"], input_ids)],
+                        axis=1)                                 # [B, S, H]
     h = h + e["position"][jnp.arange(S)][None, :, :]
     h = h * mask01[:, :, None]
     h = L.layer_norm(h, e["ln"]["scale"], e["ln"]["bias"], eps)

@@ -105,7 +105,8 @@ def embed(params: Params, cfg: UC2Config, input_ids, features, locs,
         token_type_ids = jnp.zeros_like(input_ids)
 
     pos_ids = L.create_position_ids_from_input_ids(input_ids, cfg.pad_token_id)
-    t = (e["word"][input_ids] + e["position"][pos_ids]
+    t = (L.embedding_lookup(e["word"], input_ids)
+         + L.embedding_lookup(e["position"], pos_ids)
          + e["token_type"][token_type_ids])
     t = L.layer_norm(t, e["ln"]["scale"], e["ln"]["bias"], eps)
 
