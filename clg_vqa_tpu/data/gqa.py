@@ -136,9 +136,12 @@ class GQADataset:
             q = self.code_mixer(q, sample_key=e.question_id)
         return encode_padded(self.tokenizer, q, self.max_seq_length)
 
-    def make_batch(self, indices: list[int]) -> dict[str, np.ndarray]:
+    def make_batch(self, indices: list[int], *,
+                   with_features: bool = True) -> dict[str, np.ndarray]:
         """Fixed-shape host batch. Keys match the model/batch contract plus
-        labels / question_id / valid."""
+        labels / question_id / valid. with_features=False skips the feature
+        assembly and emits 'store_idx' instead (for device-resident banks,
+        data/device_bank.py)."""
         B = len(indices)
         T = self.max_seq_length
         ids = np.full((B, T), self.tokenizer.pad_id, np.int32)
@@ -160,20 +163,24 @@ class GQADataset:
                 # GQA is single-label; reference argmaxes the one-hot target
                 labels[j] = e.labels[int(np.argmax(e.scores))]
                 has_label[j] = 1.0
-        feats, locs, mask = self.store.gather(
-            store_idx, max_regions=self.max_region_num,
-            num_locs=self.num_locs, norm_embeddings=self.norm_embeddings,
-            add_global_imgfeat=self.add_global)
-        return {
+        out = {
             "input_ids": ids, "input_mask": imask,
-            "features": feats, "locs": locs, "image_mask": mask,
             "labels": labels, "has_label": has_label,
             "question_id": qids, "valid": valid,
         }
+        if with_features:
+            feats, locs, mask = self.store.gather(
+                store_idx, max_regions=self.max_region_num,
+                num_locs=self.num_locs, norm_embeddings=self.norm_embeddings,
+                add_global_imgfeat=self.add_global)
+            out.update({"features": feats, "locs": locs, "image_mask": mask})
+        else:
+            out["store_idx"] = store_idx.astype(np.int32)
+        return out
 
     def iter_batches(self, batch_size: int, *, shuffle: bool = False,
                      seed: int = 0, drop_remainder: bool = False,
-                     pad_final: bool = True):
+                     pad_final: bool = True, with_features: bool = True):
         order = np.arange(len(self.entries))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
@@ -185,8 +192,8 @@ class GQADataset:
                 if pad_final:
                     n_real = len(chunk)
                     chunk = chunk + [chunk[-1]] * (batch_size - n_real)
-                    b = self.make_batch(chunk)
+                    b = self.make_batch(chunk, with_features=with_features)
                     b["valid"][n_real:] = 0.0
                     yield b
                     return
-            yield self.make_batch(chunk)
+            yield self.make_batch(chunk, with_features=with_features)

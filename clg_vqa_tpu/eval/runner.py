@@ -18,12 +18,18 @@ import numpy as np
 def run_eval(forward: Callable, params, cfg, dataset, label2ans: list, *,
              batch_size: int = 256, compute_dtype=jnp.bfloat16,
              out_path: str | None = None, split: str = "test",
-             log_every: int = 0) -> dict:
+             log_every: int = 0, device_bank=None) -> dict:
     """Returns {"results": [...], "n": int, "qa_per_sec": float,
-    "accuracy": float | None (if the dataset has labels)}."""
+    "accuracy": float | None (if the dataset has labels)}.
+
+    device_bank: optional data.device_bank.DeviceFeatureBank — features are
+    then gathered on device by index (no per-batch feature upload)."""
 
     @jax.jit
     def step(params, batch):
+        if device_bank is not None:
+            f, l, m = device_bank.lookup(batch.pop("store_idx"))
+            batch = {**batch, "features": f, "locs": l, "image_mask": m}
         logits = forward(params, cfg, batch, deterministic=True,
                          compute_dtype=compute_dtype)
         return jnp.argmax(logits, axis=-1)
@@ -33,7 +39,8 @@ def run_eval(forward: Callable, params, cfg, dataset, label2ans: list, *,
     n_correct = 0
     n_labeled = 0
     t0 = time.time()
-    for batch in dataset.iter_batches(batch_size):
+    for batch in dataset.iter_batches(batch_size,
+                                      with_features=device_bank is None):
         host_qids = batch.pop("question_id")
         valid = batch.pop("valid")
         has_label = batch.pop("has_label")

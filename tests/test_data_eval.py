@@ -161,3 +161,19 @@ def test_pipeline_host_sharding(eval_world):
     o0, o1 = pipe0._epoch_order(0), pipe1._epoch_order(0)
     assert set(o0).isdisjoint(set(o1))
     assert len(set(o0) | set(o1)) == len(ds)
+
+
+def test_eval_with_device_bank_matches(eval_world):
+    """Device-resident feature bank produces identical predictions to the
+    host-upload path."""
+    from clg_vqa_tpu.data.device_bank import DeviceFeatureBank
+    tmp, cfg, params, ds, entries, label2ans = eval_world
+    bank = DeviceFeatureBank(ds.store, max_regions=ds.max_region_num,
+                             num_locs=ds.num_locs)
+    r1 = runner.run_eval(uc2.forward, params, cfg, ds, label2ans,
+                         batch_size=16, compute_dtype=None)
+    r2 = runner.run_eval(uc2.forward, params, cfg, ds, label2ans,
+                         batch_size=16, compute_dtype=None, device_bank=bank)
+    p1 = {p["questionId"]: p["prediction"] for p in r1["results"]}
+    p2 = {p["questionId"]: p["prediction"] for p in r2["results"]}
+    assert p1 == p2
