@@ -72,11 +72,12 @@ def cmd_eval(args):
                          args.features_path or task_cfg.features_path_train,
                          annotations_jsonpath=args.annotations_jsonpath)
     _, label2ans = load_answer_vocab(task_cfg.dataroot)
+    bank = C.maybe_device_bank(ds, cfg, task_cfg)
     out = f"{args.output_dir}/{args.split}_result.json"
     res = run_eval(mod.forward, params, cfg, ds, label2ans,
                    batch_size=task_cfg.eval_batch_size,
                    compute_dtype=None if args.fp32 else jnp.bfloat16,
-                   out_path=out, split=args.split)
+                   out_path=out, split=args.split, device_bank=bank)
     acc = f", accuracy {100*res['accuracy']:.2f}" if res["accuracy"] is not None else ""
     print(f"wrote {out}: {res['n']} predictions at "
           f"{res['qa_per_sec']:.0f} QA/s{acc}")

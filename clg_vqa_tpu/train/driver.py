@@ -55,6 +55,13 @@ class FinetuneRunner:
         self.eval_steps = eval_steps      # mid-epoch eval cadence (optional)
         os.makedirs(output_dir, exist_ok=True)
         self.logger = MetricsLogger(output_dir, task_cfg.name)
+        self._val_bank = None
+        if val_dataset is not None:
+            try:
+                from ..cli.common import maybe_device_bank
+                self._val_bank = maybe_device_bank(val_dataset, cfg, task_cfg)
+            except Exception:
+                self._val_bank = None
         # preemption handling (absent in the reference, SURVEY.md §5): on
         # SIGTERM/SIGINT finish the current step, checkpoint, then exit
         self._preempted = False
@@ -97,9 +104,13 @@ class FinetuneRunner:
     def evaluate(self, params, epoch: int) -> float:
         if self.val_ds is None:
             return 0.0
-        for b in self.val_ds.iter_batches(self.eval_bs):
+        bank = self._val_bank
+        for b in self.val_ds.iter_batches(self.eval_bs,
+                                          with_features=bank is None):
             b.pop("question_id", None)
             b.pop("has_label", None)
+            if bank is not None:
+                b = bank.fill_batch(b)
             m = self.eval_step(params, jax.device_put(
                 {k: jnp.asarray(v) for k, v in b.items()}))
             self.logger.step_val(float(m["loss"]), float(m["correct"]),
