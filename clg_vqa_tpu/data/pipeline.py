@@ -27,7 +27,7 @@ class TrainPipeline:
     def __init__(self, dataset, *, micro_batch_size: int, grad_acc_steps: int,
                  seed: int = 0, host_id: int = 0, num_hosts: int = 1,
                  prefetch: int = 2, drop_remainder: bool = True,
-                 device_put: bool = True):
+                 device_put: bool = True, with_features: bool = True):
         self.ds = dataset
         self.mbs = micro_batch_size
         self.acc = grad_acc_steps
@@ -37,6 +37,7 @@ class TrainPipeline:
         self.prefetch = prefetch
         self.drop_remainder = drop_remainder
         self.device_put = device_put
+        self.with_features = with_features
 
     def steps_per_epoch(self) -> int:
         per_host = len(self.ds) // self.num_hosts
@@ -48,7 +49,8 @@ class TrainPipeline:
         return order[self.host_id::self.num_hosts]
 
     def _assemble(self, idx_chunk: np.ndarray) -> dict:
-        b = self.ds.make_batch(idx_chunk.tolist())
+        b = self.ds.make_batch(idx_chunk.tolist(),
+                               with_features=self.with_features)
         b.pop("question_id", None)
         b.pop("valid", None)
         b.pop("has_label", None)

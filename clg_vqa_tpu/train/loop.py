@@ -37,8 +37,13 @@ class TrainState(NamedTuple):
 
 def make_loss_fn(model_forward: Callable, cfg, distance_matrix, *,
                  semantic_lambda: float, top_k: int = 10,
-                 compute_dtype=jnp.bfloat16, remat: bool = False) -> Callable:
+                 compute_dtype=jnp.bfloat16, remat: bool = False,
+                 feature_bank=None) -> Callable:
     def loss_fn(params, mb, rng):
+        if feature_bank is not None and "store_idx" in mb:
+            f, l, m = feature_bank.lookup(mb["store_idx"])
+            mb = {**{k: v for k, v in mb.items() if k != "store_idx"},
+                  "features": f, "locs": l, "image_mask": m}
         logits = model_forward(params, cfg, mb, deterministic=rng is None,
                                rng=rng, compute_dtype=compute_dtype,
                                remat=remat)
@@ -58,14 +63,18 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
                     compute_dtype=jnp.bfloat16,
                     grad_mask: Any = None,
                     use_dropout: bool = True,
-                    remat: bool = False) -> Callable:
+                    remat: bool = False,
+                    feature_bank=None) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
-    ``batch`` leaves are shaped [grad_acc, micro_bs, ...].
+    ``batch`` leaves are shaped [grad_acc, micro_bs, ...]. With a
+    feature_bank, batches carry int32 'store_idx' instead of features and the
+    region tensors are gathered from HBM inside the step.
     """
     loss_fn = make_loss_fn(model_forward, cfg, distance_matrix,
                            semantic_lambda=semantic_lambda, top_k=top_k,
-                           compute_dtype=compute_dtype, remat=remat)
+                           compute_dtype=compute_dtype, remat=remat,
+                           feature_bank=feature_bank)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(state: TrainState, batch, rng):

@@ -199,3 +199,61 @@ def test_multichip_sharded_step_matches_single(tiny):
     for pa, pb in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_train_step_with_feature_bank(tiny):
+    """Training with a device-resident feature bank == host-feature path."""
+    import tempfile, os
+    from clg_vqa_tpu.data.cfs import CfsReader, CfsWriter
+    from clg_vqa_tpu.data.device_bank import DeviceFeatureBank
+    from clg_vqa_tpu.data.features import RegionRecord
+    cfg, params, D, make_batch = tiny
+    batch = make_batch(5, 2, 8)
+
+    # materialize the batch's features into a store; indices point back
+    r = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp()
+    path = os.path.join(tmp, "b.cfs")
+    feats = np.asarray(batch["features"]).reshape(-1, 4, 16)
+    locs = np.asarray(batch["locs"]).reshape(-1, 4, 7)
+    # invert the loc processing is unnecessary: write a store whose gather
+    # reproduces exactly these padded tensors by choosing boxes that map to
+    # the stored locs is complex — instead test equivalence directly via
+    # bank.lookup == stored arrays
+    with CfsWriter(path) as w:
+        for i in range(6):
+            boxes = np.stack([r.rand(4) * 40, r.rand(4) * 40,
+                              50 + r.rand(4) * 40, 50 + r.rand(4) * 40],
+                             1).astype(np.float32)
+            w.add(RegionRecord(f"i{i}", r.randn(4, 16).astype(np.float32),
+                               boxes, 100.0, 100.0))
+    rd = CfsReader(path)
+    bank = DeviceFeatureBank(rd, max_regions=4, num_locs=7)
+    idx = np.array([[0, 1, 2, 3, 4, 5, 0, 1], [2, 3, 4, 5, 0, 1, 2, 3]],
+                   np.int32)
+    f, l, m = rd.gather(idx.reshape(-1), max_regions=4, num_locs=7)
+    bank_batch = dict(batch)
+    bank_batch.pop("features"); bank_batch.pop("locs")
+    bank_batch.pop("image_mask")
+    bank_batch["store_idx"] = jnp.asarray(idx)
+    host_batch = dict(batch)
+    host_batch["features"] = jnp.asarray(f.reshape(2, 8, 4, 16))
+    host_batch["locs"] = jnp.asarray(l.reshape(2, 8, 4, 7))
+    host_batch["image_mask"] = jnp.asarray(m.reshape(2, 8, 4))
+
+    opt = make_optimizer(params, 1e-3)
+    state_a = tl.TrainState(jax.tree.map(jnp.array, params),
+                            opt.init(params), jnp.zeros((), jnp.int32))
+    state_b = tl.TrainState(jax.tree.map(jnp.array, params),
+                            opt.init(params), jnp.zeros((), jnp.int32))
+    step_host = jax.jit(tl.make_train_step(
+        uc2.forward, cfg, opt, D, semantic_lambda=1.0, top_k=4,
+        compute_dtype=None, use_dropout=False))
+    step_bank = jax.jit(tl.make_train_step(
+        uc2.forward, cfg, opt, D, semantic_lambda=1.0, top_k=4,
+        compute_dtype=None, use_dropout=False, feature_bank=bank))
+    rng = jax.random.key(0)
+    sa, ma = step_host(state_a, host_batch, rng)
+    sb, mb = step_bank(state_b, bank_batch, rng)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-6)
