@@ -101,6 +101,13 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
 
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
+        if grad_mask is not None:
+            # masked entries must not move at all: the decoupled weight decay
+            # would otherwise still shrink them (torch freeze /
+            # CustomFromMask exclude them from the optimizer entirely)
+            updates = jax.tree.map(
+                lambda u, m: u * m if m is not None else u, updates,
+                grad_mask, is_leaf=lambda x: x is None)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "score": score,
                    "grad_norm": optax.global_norm(grads)}

@@ -257,3 +257,58 @@ def test_train_step_with_feature_bank(tiny):
     sb, mb = step_bank(state_b, bank_batch, rng)
     np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
                                rtol=1e-6)
+
+
+def test_freeze_mask_blocks_updates(tiny):
+    from clg_vqa_tpu.train.optim import freeze_mask
+    cfg, params, D, make_batch = tiny
+    gmask = freeze_mask(params, ["embeddings/word", "pooler"])
+    assert gmask["embeddings"]["word"] is not None       # frozen -> zeros
+    assert gmask["encoder"]["attn"]["q"]["w"] is None    # trainable
+    batch = make_batch(4, 1, 8)
+    opt = make_optimizer(params, 1e-2)
+    state = tl.TrainState(jax.tree.map(jnp.array, params), opt.init(params),
+                          jnp.zeros((), jnp.int32))
+    step = jax.jit(tl.make_train_step(
+        uc2.forward, cfg, opt, D, semantic_lambda=1.0, top_k=4,
+        compute_dtype=None, use_dropout=False, grad_mask=gmask))
+    state, _ = step(state, batch, jax.random.key(0))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["embeddings"]["word"]),
+        np.asarray(params["embeddings"]["word"]))
+    np.testing.assert_array_equal(np.asarray(state.params["pooler"]["w"]),
+                                  np.asarray(params["pooler"]["w"]))
+    assert not np.allclose(np.asarray(state.params["encoder"]["attn"]["q"]["w"]),
+                           np.asarray(params["encoder"]["attn"]["q"]["w"]))
+
+
+def test_radam_matches_reference_rule():
+    """RAdam vs an independent numpy replica of volta/volta/optimization.py:
+    rectification warmup (SGDM fallback while rho <= 5) + pre-update decay."""
+    from clg_vqa_tpu.train.optim import radam
+    rng = np.random.RandomState(1)
+    p0 = rng.randn(5, 4).astype(np.float32)
+    lr, b1, b2, eps, wd = 1e-3, 0.9, 0.999, 1e-8, 0.01
+    params = {"w": jnp.asarray(p0)}
+    opt = radam(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+    state = opt.init(params)
+    rho_inf = 2 / (1 - b2) - 1
+    p, m, v = p0.copy(), np.zeros_like(p0), np.zeros_like(p0)
+    for t in range(1, 12):
+        g = rng.randn(5, 4).astype(np.float32)
+        updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        beta2_t = b2 ** t
+        rho = rho_inf - 2 * t * beta2_t / (1 - beta2_t)
+        base = p - lr * wd * p
+        if rho > 5:
+            rect = np.sqrt(((rho - 4) * (rho - 2) * rho_inf)
+                           / ((rho_inf - 4) * (rho_inf - 2) * rho))
+            step_size = lr * rect * np.sqrt(1 - beta2_t) / (1 - b1 ** t)
+            p = base - step_size * m / (np.sqrt(v) + eps)
+        else:
+            p = base - lr / (1 - b1 ** t) * m
+        np.testing.assert_allclose(np.asarray(params["w"]), p,
+                                   rtol=2e-5, atol=1e-7)
