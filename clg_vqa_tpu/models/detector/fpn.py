@@ -23,7 +23,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ...ops.nms import batched_nms
+from ...ops.nms import batched_nms_fixpoint
 from ...ops.roi import roi_align
 from .resnet import conv
 
@@ -98,20 +98,17 @@ def select_top_by_class_nms(boxes: jnp.ndarray, probs: jnp.ndarray, *,
                             num_keep: int = 100, nms_thresh: float = 0.5,
                             conf_thresh: float = 0.0,
                             valid: jnp.ndarray | None = None):
-    """extract_features_vmb's per-class NMS selection, fully vectorized.
+    """extract_features_vmb's per-class NMS selection, fully vectorized via
+    the parallel-fixpoint NMS (ops/nms.py:batched_nms_fixpoint — exact greedy,
+    no O(N)-deep recurrence).
 
     boxes [N, 4] shared across classes; probs [N, C+1] softmax (col 0 =
     background, skipped). Returns (indices [num_keep], max_conf [num_keep],
     objects [num_keep] foreground argmax)."""
     fg = probs[:, 1:]                                   # [N, C]
-    idx_c, keep_c = batched_nms(boxes, fg.T, nms_thresh, valid=valid)
-    # scatter kept per-class scores back to per-box maxima
-    N, C = fg.shape
-    kept_scores = jnp.where(keep_c, fg.T[jnp.arange(C)[:, None], idx_c], 0.0)
-    max_conf = jnp.zeros((N,), probs.dtype)
-    max_conf = max_conf.at[idx_c.reshape(-1)].max(
-        jnp.where(kept_scores.reshape(-1) > conf_thresh,
-                  kept_scores.reshape(-1), 0.0))
+    keep_c = batched_nms_fixpoint(boxes, fg.T, nms_thresh, valid=valid)
+    kept_scores = jnp.where(keep_c & (fg.T > conf_thresh), fg.T, 0.0)
+    max_conf = jnp.max(kept_scores, axis=0)             # [N]
     order = jnp.argsort(-max_conf)[:num_keep]
     objects = jnp.argmax(fg, axis=1)
     return order, max_conf[order], objects[order]

@@ -207,3 +207,38 @@ def test_roi_pool_pallas_matches_xla():
         output_size=(7, 7), spatial_scale=0.125, max_bin=8))
     np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref,
                                rtol=1e-6, atol=1e-6)
+
+
+def test_batched_nms_fixpoint_matches_oracle():
+    """Parallel fixpoint per-class NMS == sequential greedy oracle, including
+    dense-overlap cases that exercise long suppression chains."""
+    from clg_vqa_tpu.ops.nms import batched_nms_fixpoint
+    r = np.random.RandomState(13)
+    for trial, (C, N, spread) in enumerate([(7, 50, 120), (3, 80, 30)]):
+        b = rand_boxes(r, N, spread, spread)   # small spread => many overlaps
+        s = r.rand(C, N).astype(np.float32)
+        keep = np.asarray(batched_nms_fixpoint(
+            jnp.asarray(b), jnp.asarray(s), 0.5, class_chunk=4))
+        for c in range(C):
+            ref = np_nms(b, s[c], 0.5)
+            ours = np.where(keep[c])[0]
+            np.testing.assert_array_equal(np.sort(ours), np.sort(ref),
+                                          err_msg=f"trial{trial} class{c}")
+
+
+def test_batched_nms_fixpoint_valid_mask():
+    from clg_vqa_tpu.ops.nms import batched_nms_fixpoint
+    r = np.random.RandomState(14)
+    N, C = 30, 4
+    b = rand_boxes(r, N, 60, 60)
+    s = r.rand(C, N).astype(np.float32)
+    valid = (np.arange(N) % 4 != 0)
+    keep = np.asarray(batched_nms_fixpoint(
+        jnp.asarray(b), jnp.asarray(s), 0.5, valid=jnp.asarray(valid),
+        class_chunk=2))
+    assert not keep[:, ~valid].any()
+    for c in range(C):
+        ref = np_nms(b[valid], s[c][valid], 0.5)
+        ref_orig = np.where(valid)[0][ref]
+        np.testing.assert_array_equal(np.sort(np.where(keep[c])[0]),
+                                      np.sort(ref_orig))
