@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...data.features import RegionRecord
+from ...ops.nms import batched_nms_fixpoint
 from . import fpn as F
 from . import resnet, rpn
 
@@ -87,7 +88,10 @@ class ExtractorX101:
                                         groups=32, caffe_pool=False)
         pyr = F.fpn(stages, params["fpn"])
 
-        all_boxes, all_scores, all_valid = [], [], []
+        # per-level pre-NMS candidates (top-k + decode + clip), then ONE
+        # batched fixpoint NMS over all 5 levels (exact per-level greedy,
+        # no sequential per-level recurrences)
+        cand_boxes, cand_scores = [], []
         for lvl, (feat, anchors, stride) in enumerate(
                 zip(pyr, self._anchors, self._strides)):
             obj, deltas = rpn.rpn_head(
@@ -99,18 +103,25 @@ class ExtractorX101:
             cx = jnp.arange(obj.shape[1])[None, :, None]
             vmask = jnp.broadcast_to((cy < vh) & (cx < vw),
                                      obj.shape).reshape(-1)
-            b, s, v = rpn.propose(
-                obj, deltas, anchors, valid_hw,
-                pre_nms_topk=min(c.pre_nms_topk, obj.size),
-                post_nms_topk=c.post_nms_topk_level,
-                nms_thresh=c.rpn_nms_thresh, valid_mask=vmask)
-            all_boxes.append(b)
-            all_scores.append(jnp.where(v, s, -jnp.inf))
-            all_valid.append(v)
-        boxes = jnp.concatenate(all_boxes)
-        scores = jnp.concatenate(all_scores)
-        top_s, top_i = jax.lax.top_k(scores, c.post_nms_topk)
-        proposals = boxes[top_i]
+            logits = jnp.where(vmask, obj.reshape(-1), -jnp.inf)
+            k = min(c.pre_nms_topk, logits.shape[0])
+            top_s, top_i = jax.lax.top_k(logits, k)
+            if k < c.pre_nms_topk:
+                top_s = jnp.pad(top_s, (0, c.pre_nms_topk - k),
+                                constant_values=-jnp.inf)
+                top_i = jnp.pad(top_i, (0, c.pre_nms_topk - k))
+            b = rpn.decode_boxes(anchors[top_i],
+                                 deltas.reshape(-1, 4)[top_i])
+            cand_boxes.append(rpn.clip_boxes(b, valid_hw[0], valid_hw[1]))
+            cand_scores.append(top_s)
+        lvl_boxes = jnp.stack(cand_boxes)               # [5, K, 4]
+        lvl_scores = jnp.stack(cand_scores)             # [5, K]
+        keep = batched_nms_fixpoint(
+            lvl_boxes, lvl_scores, c.rpn_nms_thresh,
+            valid=jnp.isfinite(lvl_scores), class_chunk=8)
+        merged = jnp.where(keep, lvl_scores, -jnp.inf).reshape(-1)
+        top_s, top_i = jax.lax.top_k(merged, c.post_nms_topk)
+        proposals = lvl_boxes.reshape(-1, 4)[top_i]
         pvalid = jnp.isfinite(top_s)
 
         pyr32 = [p.astype(jnp.float32) for p in pyr]

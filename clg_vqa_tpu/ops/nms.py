@@ -127,10 +127,14 @@ def batched_nms_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
     work instead of the O(N)-deep sequential recurrence). ~30x faster than
     the per-step recurrence at 1600 classes x 1000 boxes.
 
-    boxes [N, 4] shared; scores [C, N]. Returns keep [C, N] bool.
+    boxes [N, 4] shared (or [C, N, 4] per-class); scores [C, N].
+    Returns keep [C, N] bool.
     """
     C, N = scores.shape
-    over = iou_matrix(boxes) > iou_threshold
+    if boxes.ndim == 3:
+        over = jax.vmap(iou_matrix)(boxes) > iou_threshold   # [C, N, N]
+    else:
+        over = iou_matrix(boxes) > iou_threshold
     over = over & ~jnp.eye(N, dtype=bool)
     v = jnp.ones((C, N), bool) if valid is None else (
         jnp.broadcast_to(valid, (C, N)) if valid.ndim == 1 else valid)
@@ -142,11 +146,21 @@ def batched_nms_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
     pri_p = jnp.pad(pri, ((0, pad), (0, 0)), constant_values=-jnp.inf)
     v_p = jnp.pad(v, ((0, pad), (0, 0)))
 
+    per_class_over = over.ndim == 3
+    if per_class_over:
+        pad_o = jnp.pad(over, ((0, pad), (0, 0), (0, 0)))
+        over_chunks = pad_o.reshape(n_ch, class_chunk, N, N)
+
     def chunk_fn(args):
-        p_c, v_c = args                                  # [ch, N]
+        if per_class_over:
+            p_c, v_c, o_c = args                         # [ch, N(, N)]
+        else:
+            p_c, v_c = args
+            o_c = None
 
         def f(K):
-            cand = jnp.where(over[None] & K[:, :, None],
+            ov = o_c if o_c is not None else over[None]
+            cand = jnp.where(ov & K[:, :, None],
                              p_c[:, :, None], -jnp.inf)  # [ch, Nj, Ni]
             strongest = jnp.max(cand, axis=1)            # [ch, N]
             return v_c & (strongest < p_c)
@@ -163,7 +177,9 @@ def batched_nms_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
         K, _, _ = jax.lax.while_loop(cond, body, (K0, v_c, 0))
         return K
 
-    chunks = (pri_p.reshape(n_ch, class_chunk, N),
-              v_p.reshape(n_ch, class_chunk, N))
-    keep = jax.lax.map(chunk_fn, chunks).reshape(n_ch * class_chunk, N)
+    chunks = [pri_p.reshape(n_ch, class_chunk, N),
+              v_p.reshape(n_ch, class_chunk, N)]
+    if per_class_over:
+        chunks.append(over_chunks)
+    keep = jax.lax.map(chunk_fn, tuple(chunks)).reshape(n_ch * class_chunk, N)
     return keep[:C]

@@ -242,3 +242,17 @@ def test_batched_nms_fixpoint_valid_mask():
         ref_orig = np.where(valid)[0][ref]
         np.testing.assert_array_equal(np.sort(np.where(keep[c])[0]),
                                       np.sort(ref_orig))
+
+
+def test_batched_nms_fixpoint_per_class_boxes():
+    from clg_vqa_tpu.ops.nms import batched_nms_fixpoint
+    r = np.random.RandomState(15)
+    C, N = 5, 40
+    boxes = np.stack([rand_boxes(r, N, 80, 80) for _ in range(C)])
+    s = r.rand(C, N).astype(np.float32)
+    keep = np.asarray(batched_nms_fixpoint(
+        jnp.asarray(boxes), jnp.asarray(s), 0.5, class_chunk=2))
+    for c in range(C):
+        ref = np_nms(boxes[c], s[c], 0.5)
+        np.testing.assert_array_equal(np.sort(np.where(keep[c])[0]),
+                                      np.sort(ref))
