@@ -192,6 +192,7 @@ class GivenBoxExtractor:
         self.cfg = cfg or ExtractorConfig()
         self.max_boxes = max_boxes
         self._jitted = jax.jit(self._pipeline)
+        self._pre = Extractor36(params, self.cfg)   # shares preprocess
 
     def _pipeline(self, params, image, boxes, n_valid):
         c = self.cfg
@@ -217,8 +218,7 @@ class GivenBoxExtractor:
     def extract(self, raw_bgr: np.ndarray, boxes_raw: np.ndarray,
                 image_id: str) -> RegionRecord:
         """boxes_raw: [N, 4] xyxy in RAW image coordinates."""
-        pre = Extractor36(self.params, self.cfg)
-        img, (nh, nw), (rh, rw) = pre.preprocess(raw_bgr)
+        img, (nh, nw), (rh, rw) = self._pre.preprocess(raw_bgr)
         n = min(len(boxes_raw), self.max_boxes)
         boxes_net = np.zeros((self.max_boxes, 4), np.float32)
         boxes_net[:n] = boxes_raw[:n] * [nw / rw, nh / rh, nw / rw, nh / rh]
