@@ -177,3 +177,22 @@ def test_eval_with_device_bank_matches(eval_world):
     p1 = {p["questionId"]: p["prediction"] for p in r1["results"]}
     p2 = {p["questionId"]: p["prediction"] for p in r2["results"]}
     assert p1 == p2
+
+
+def test_predictor_serving_api(eval_world):
+    from clg_vqa_tpu.data.tokenizer import HashTokenizer
+    from clg_vqa_tpu.eval.predictor import Predictor
+    tmp, cfg, params, ds, entries, label2ans = eval_world
+    p = Predictor(uc2.forward, params, cfg, ds.store, HashTokenizer(512),
+                  label2ans, max_seq_length=10, max_region_num=8,
+                  batch_capacity=4, compute_dtype=None)
+    r = p.predict("what is thing number 3 ?", "img3")
+    assert r["answer"] in label2ans and 0.0 <= r["confidence"] <= 1.0
+    rs = p.predict_batch([(e.question, e.image_id) for e in entries[:6]])
+    assert len(rs) == 6
+    # predictions agree with run_eval on the same inputs
+    full = runner.run_eval(uc2.forward, params, cfg, ds, label2ans,
+                           batch_size=16, compute_dtype=None)
+    by_qid = {p_["questionId"]: p_["prediction"] for p_ in full["results"]}
+    for e, r_ in zip(entries[:6], rs):
+        assert by_qid[str(e.question_id)] == r_["answer"]
