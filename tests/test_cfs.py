@@ -142,3 +142,33 @@ def test_tsv_to_cfs(tmp_path):
     rec = rd.get("img1")
     assert rec.features.shape[1] == 16
     assert rec.obj_id is not None and rec.obj_id.dtype == np.int32
+
+
+def test_cfs_concurrent_readers(tmp_path):
+    """Multiple reader handles over one store + threaded gathers (the
+    prefetch thread uses the reader concurrently with eval code)."""
+    import threading
+    path, recs = make_store(tmp_path, n_images=10)
+    readers = [CfsReader(path) for _ in range(3)]
+    idx = np.arange(10, dtype=np.int64)
+    outs = [None] * 3
+
+    def work(k):
+        f, l, m = readers[k].gather(idx, max_regions=8, num_locs=5)
+        outs[k] = (f, l, m)
+
+    ts = [threading.Thread(target=work, args=(k,)) for k in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for k in range(1, 3):
+        np.testing.assert_array_equal(outs[0][0], outs[k][0])
+        np.testing.assert_array_equal(outs[0][2], outs[k][2])
+
+
+def test_cfs_rejects_corrupt_file(tmp_path):
+    bad = tmp_path / "bad.cfs"
+    bad.write_bytes(b"NOTCFS" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        CfsReader(str(bad))

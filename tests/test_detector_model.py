@@ -284,3 +284,18 @@ def test_given_box_extractor_smoke():
     assert rec.features.shape == (2, 2048)
     np.testing.assert_array_equal(rec.boxes, boxes)
     assert np.isfinite(rec.features).all()
+
+
+def test_extractor_deterministic():
+    """Same image twice -> identical features/boxes (no hidden RNG in the
+    extraction pipeline)."""
+    cfg = extractor.ExtractorConfig(num_boxes=5, pre_nms_topk=128,
+                                    post_nms_topk=32, pad_h=128, pad_w=160,
+                                    short=96, max_size=160)
+    params = extractor.init_extractor_params(jax.random.key(2))
+    ex = extractor.Extractor36(params, cfg)
+    img = (np.random.RandomState(5).rand(90, 120, 3) * 255).astype(np.uint8)
+    r1 = ex.extract(img, "a")
+    r2 = ex.extract(img, "a")
+    np.testing.assert_array_equal(r1.features, r2.features)
+    np.testing.assert_array_equal(r1.boxes, r2.boxes)
