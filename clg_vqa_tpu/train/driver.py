@@ -186,7 +186,12 @@ class FinetuneRunner:
             mask = pr.imp_prune_step(
                 jax.tree.map(np.asarray, state.params), mask, fraction)
             sp = pr.sparsity(mask)
-            score = self.evaluate(pr.apply_mask(state.params, mask), epoch)
+            # Reference order (train_task_prunning.py:791-877): prune ->
+            # rewind to theta_0 -> rebuild optimizer -> evaluate the REWOUND
+            # masked weights (theta_0 * mask); mask_best is selected on that
+            # score, not on trained * mask.
+            score = self.evaluate(
+                pr.apply_mask(self._fresh_theta0(), mask), epoch)
             history.append({"epoch": epoch, "sparsity": sp, "score": score})
             pr.save_mask(os.path.join(self.out, f"mask_lt{epoch}.npz"), mask)
             if score > best:

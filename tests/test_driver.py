@@ -90,6 +90,42 @@ def test_imp_prune_recipe(world):
     assert len(glob.glob(os.path.join(out, "mask_lt*.npz"))) == 2
 
 
+def test_imp_selection_evaluates_rewound_mask(world):
+    """Reference order (train_task_prunning.py:791-877): the score that picks
+    mask_best is computed on the REWOUND weights theta_0 * mask, not on the
+    trained weights."""
+    tmp, cfg, params0, *_ = world
+    runner, out = _runner(world, "imp_sel")
+    seen = []
+    orig_eval = runner.evaluate
+
+    def spy(params, epoch):
+        seen.append(jax.tree.map(np.asarray, params))
+        return orig_eval(params, epoch)
+
+    runner.evaluate = spy
+    runner.imp_prune(fraction=0.1)
+    assert len(seen) == 2
+    theta0 = jax.tree.map(np.asarray, params0)
+    for epoch, evald in enumerate(seen):
+        mask = pr.load_mask(os.path.join(out, f"mask_lt{epoch}.npz"), params0)
+        expect = jax.tree.map(np.asarray, pr.apply_mask(params0, mask))
+        flat_e = dict(pr._walk(expect))
+        flat_m = dict(pr._walk(mask))
+        moved = False
+        for p, got in pr._walk(evald):
+            np.testing.assert_allclose(got, flat_e[p], atol=1e-6, err_msg=p)
+            if flat_m.get(p) is not None:
+                # distinguishable from trained*mask: surviving slots must
+                # equal theta_0 exactly (training would have moved them)
+                m = flat_m[p]
+                t0 = dict(pr._walk(theta0))[p]
+                if np.any(m == 0):
+                    moved = True
+                    assert np.array_equal(got[m == 1], t0[m == 1]), p
+        assert moved
+
+
 def test_sft_recipe(world):
     tmp, cfg, params0, *_ = world
     imp_out = str(tmp / "imp")

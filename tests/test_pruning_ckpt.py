@@ -54,6 +54,65 @@ def test_imp_prunes_smallest_globally(tiny):
     assert killed_max <= kept_min + 1e-12
 
 
+def test_imp_two_rounds_match_torch_global_unstructured(tiny):
+    """Two full IMP rounds (train-perturb -> prune -> rewind) produce the
+    exact same masks as torch prune.global_unstructured(L1Unstructured)
+    applied to the same weights (train_task_prunning.py:45-91,791-877)."""
+    import torch
+    import torch.nn.utils.prune as prune
+
+    _, params = tiny
+    paths = sorted(pr.prunable_paths(params))
+    theta0 = {p: np.asarray(w, np.float32)
+              for p, w in pr._walk(params) if p in paths}
+
+    # torch side: one module per prunable leaf (stacked layers are one tensor
+    # here and per-layer modules in torch; global topk makes that equivalent)
+    mods = {}
+    for p in paths:
+        m = torch.nn.Module()
+        m.weight = torch.nn.Parameter(torch.from_numpy(theta0[p].copy()))
+        mods[p] = m
+
+    mask = pr.init_mask(params)
+    for rnd in range(2):
+        # "training": deterministic perturbation of theta0, masked slots
+        # pinned to zero (test_sft_masked_weights_stay_zero semantics)
+        r = np.random.RandomState(100 + rnd)
+        trained = {p: theta0[p] + 0.05 * r.randn(*theta0[p].shape)
+                   .astype(np.float32) for p in paths}
+
+        full_trained = jax.tree.map(lambda x: x, params)
+
+        def put(tree, path=()):
+            if isinstance(tree, dict):
+                return {k: put(v, path + (k,)) for k, v in tree.items()}
+            key = "/".join(path)
+            return trained[key] if key in trained else tree
+
+        full_trained = put(params)
+        full_trained = pr.apply_mask(full_trained, mask)
+        mask = pr.imp_prune_step(full_trained, mask, 0.1)
+
+        for p in paths:
+            if rnd == 0:
+                mods[p].weight.data = torch.from_numpy(trained[p].copy())
+            else:
+                mods[p].weight_orig.data = torch.from_numpy(trained[p].copy())
+                # refresh the reparametrized .weight (in the reference the
+                # forward pre-hook does this on every training forward)
+                for hook in mods[p]._forward_pre_hooks.values():
+                    hook(mods[p], None)
+        prune.global_unstructured(
+            [(mods[p], "weight") for p in paths],
+            pruning_method=prune.L1Unstructured, amount=0.1)
+
+    ours = {p: m for p, m in pr._walk(mask) if m is not None}
+    for p in paths:
+        theirs = mods[p].weight_mask.detach().numpy()
+        np.testing.assert_array_equal(ours[p], theirs, err_msg=p)
+
+
 def test_mask_save_load_roundtrip(tiny, tmp_path):
     _, params = tiny
     mask = pr.imp_prune_step(params, pr.init_mask(params), 0.2)
