@@ -31,13 +31,22 @@ def _train_like(args, mode: str):
         else None
     feat_train = args.features_path or task_cfg.features_path_train
     feat_val = task_cfg.features_path_val or feat_train
+    # the reference's primary train artifact is a QA-joined tensorpack LMDB
+    # (format: serialized_lmdb); ingest it once into the native store
+    train_items = val_items = None
+    if C.is_tdlmdb(feat_train):
+        feat_train, train_items = C.ingest_tdlmdb(
+            feat_train, args.output_dir, "train")
+    if C.is_tdlmdb(feat_val):
+        feat_val, val_items = C.ingest_tdlmdb(feat_val, args.output_dir, "val")
     train_ds = C.build_dataset(
         args, cfg, task_cfg, task_cfg.train_split, feat_train,
         annotations_jsonpath=args.train_annotations_jsonpath,
-        code_mixer=code_mixer)
+        code_mixer=code_mixer, entry_items=train_items)
     val_ds = C.build_dataset(
         args, cfg, task_cfg, task_cfg.val_split, feat_val,
-        annotations_jsonpath=args.val_annotations_jsonpath)
+        annotations_jsonpath=args.val_annotations_jsonpath,
+        entry_items=val_items)
     micro_bs = task_cfg.batch_size // optim_cfg.grad_acc_steps
     pipe = TrainPipeline(train_ds, micro_batch_size=micro_bs,
                          grad_acc_steps=optim_cfg.grad_acc_steps,
@@ -154,8 +163,17 @@ def _load_image_bgr(path):
 
 
 def cmd_convert_store(args):
+    from . import common as CC
     from ..data import convert_store as cs
+    from ..data import tdlmdb as td
     src, dst = args.src, args.dst
+    if args.annotations:      # QA-joined td-lmdb production needs the targets
+        if src.endswith(".h5"):
+            n = td.h5_to_tdlmdb(src, args.annotations, dst)
+        else:
+            n = td.cfs_to_tdlmdb(src, args.annotations, dst)
+        print(f"converted {n} QA records: {src} + {args.annotations} -> {dst}")
+        return
     if src.endswith(".h5") and dst.endswith(".cfs"):
         n = cs.h5_to_cfs(src, dst)
     elif src.endswith(".cfs") and dst.endswith(".h5"):
@@ -163,6 +181,12 @@ def cmd_convert_store(args):
     elif dst.endswith(".cfs") and os.path.isdir(src) and \
             any(f.endswith(".npy") for f in os.listdir(src)):
         n = cs.npy_to_cfs(src, dst)
+    elif dst.endswith(".cfs") and CC.is_tdlmdb(src):
+        entries_pkl = args.entries_out or dst[:-4] + "_target.pkl"
+        n_img, n = td.tdlmdb_to_cfs(src, dst, entries_pkl)
+        print(f"converted {n} QA records / {n_img} images: {src} -> {dst} "
+              f"(+ {entries_pkl})")
+        return
     elif dst.endswith(".cfs"):
         n = cs.lmdb_to_cfs(src, dst)
     else:
@@ -212,6 +236,11 @@ def main(argv=None):
     sp = sub.add_parser("convert-store")
     sp.add_argument("src")
     sp.add_argument("dst")
+    sp.add_argument("--annotations", default="",
+                    help="target pkl; triggers QA-joined td-lmdb output "
+                         "(h5/cfs + targets -> tdlmdb)")
+    sp.add_argument("--entries_out", default="",
+                    help="entries pkl path for tdlmdb -> cfs ingest")
     sp.set_defaults(fn=cmd_convert_store)
 
     args = p.parse_args(argv)

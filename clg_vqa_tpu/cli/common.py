@@ -131,6 +131,39 @@ def open_feature_store(path: str):
     return LmdbFeatureReader(path)
 
 
+def is_tdlmdb(path: str) -> bool:
+    """True when ``path`` is a tensorpack-serialized (QA-joined) LMDB — the
+    reference's `format: serialized_lmdb` train artifact — as opposed to a
+    per-image feature LMDB (which carries a b'keys' index)."""
+    from ..data.lmdb_lite import Reader
+    if path.endswith(".cfs") or not os.path.exists(path):
+        return False
+    try:
+        with Reader(path) as r:
+            return r.get(b"__keys__") is not None
+    except (ValueError, OSError):
+        return False
+
+
+def ingest_tdlmdb(td_path: str, cache_dir: str, tag: str):
+    """One-time stream of a td-lmdb into the native inputs: a CFS feature
+    store + target-pkl-style entries (cached under ``cache_dir``). Replaces
+    the reference's tensorpack streaming of the same artifact
+    (gqa_dataset_semantic_code_mix.py:300-344)."""
+    import pickle
+    from ..data.tdlmdb import tdlmdb_to_cfs
+    os.makedirs(cache_dir, exist_ok=True)
+    cfs_path = os.path.join(cache_dir, f"ingest_{tag}.cfs")
+    entries_pkl = os.path.join(cache_dir, f"ingest_{tag}_target.pkl")
+    if not (os.path.exists(cfs_path) and os.path.exists(entries_pkl)):
+        n_img, n_q = tdlmdb_to_cfs(td_path, cfs_path, entries_pkl)
+        print(f"ingested td-lmdb {td_path}: {n_q} QA pairs / "
+              f"{n_img} images -> {cfs_path}")
+    with open(entries_pkl, "rb") as f:
+        items = pickle.load(f)
+    return cfs_path, items
+
+
 def build_distance_matrix(task_cfg, num_labels: int):
     from ..ops.semantic_prior import (build_distance_matrix_embedding,
                                       build_distance_matrix_wordnet)
@@ -152,9 +185,15 @@ def build_code_mixer(task_cfg, seed: int):
 
 
 def build_dataset(args, cfg, task_cfg, split: str, features_path: str,
-                  annotations_jsonpath: str = "", code_mixer=None):
+                  annotations_jsonpath: str = "", code_mixer=None,
+                  entry_items: list | None = None):
     from ..data.gqa import GQADataset, load_entries
-    entries = load_entries(task_cfg.dataroot, split, annotations_jsonpath)
+    from ..data.gqa import _entries_from_target_items
+    if entry_items is not None:       # e.g. td-lmdb ingest carries its own QA
+        entries = _entries_from_target_items(
+            sorted(entry_items, key=lambda x: x["question_id"]))
+    else:
+        entries = load_entries(task_cfg.dataroot, split, annotations_jsonpath)
     store = open_feature_store(features_path)
     tok = build_tokenizer(args)
     return GQADataset(

@@ -4,10 +4,13 @@ mapped onto CFS:
 
   h5  -> cfs    (detectron2_proposal_maxnms.py h5 schema: per-image group
                  with features/boxes/img_w/img_h[/obj_id/obj_conf/...])
-  lmdb -> cfs   (pickled+b64 per-image records; requires py-lmdb)
+  lmdb -> cfs   (pickled+b64 per-image records)
   npy  -> cfs   (mmf extractor {id}.npy + {id}_info.npy pairs)
-  cfs  -> lmdb-compatible pickle dir (for handing features back to the
-                 reference stack; requires py-lmdb)
+  cfs  -> lmdb  (for handing features back to the reference stack)
+
+LMDB I/O goes through py-lmdb when installed, else the in-repo codec
+(data/lmdb_lite.py). The QA-joined tensorpack train-store converters
+(tdlmdb <-> cfs/h5) live in data/tdlmdb.py.
 """
 from __future__ import annotations
 
@@ -67,8 +70,8 @@ def cfs_to_h5(cfs_path: str, h5_path: str) -> int:
 def lmdb_to_cfs(lmdb_path: str, cfs_path: str, *,
                 feat_dim: int = 2048) -> int:
     """Reference per-image LMDB (pickled, b64 features) -> CFS."""
-    import lmdb
-    env = lmdb.open(lmdb_path, readonly=True, lock=False)
+    from .lmdb_lite import open_compat
+    env = open_compat(lmdb_path, readonly=True, lock=False)
     n = 0
     with env.begin(write=False) as txn, CfsWriter(cfs_path) as w:
         keys = pickle.loads(txn.get(b"keys"))
@@ -114,9 +117,9 @@ def npy_to_cfs(npy_dir: str, cfs_path: str) -> int:
 def cfs_to_lmdb(cfs_path: str, lmdb_path: str) -> int:
     """CFS -> reference-compatible per-image LMDB (pickled records with b64
     features + a 'keys' entry) so the torch stack can read our features."""
-    import lmdb
+    from .lmdb_lite import open_compat
     rd = CfsReader(cfs_path)
-    env = lmdb.open(lmdb_path, map_size=1 << 40)
+    env = open_compat(lmdb_path, map_size=1 << 40)
     keys = []
     with env.begin(write=True) as txn:
         for i in range(rd.n_records):

@@ -94,15 +94,16 @@ def pad_regions(features: np.ndarray, locs: np.ndarray, num_boxes: int,
 class LmdbFeatureReader:
     """Random-access reader for reference-produced per-image LMDBs
     (pickled records keyed by image id, 'keys' entry listing ids;
-    _image_features_reader.py:19-208). Requires py-lmdb. Uses an O(1) id->
-    index dict instead of the reference's linear list scan (line 75)."""
+    _image_features_reader.py:19-208). Uses py-lmdb when installed, else the
+    in-repo LMDB codec (data/lmdb_lite.py). Uses an O(1) id->index dict
+    instead of the reference's linear list scan (line 75)."""
 
     def __init__(self, path: str, *, feat_dim: int = 2048):
-        import lmdb  # gated: not present in every environment
         import pickle
+        from .lmdb_lite import open_compat
         self._pickle = pickle
-        self.env = lmdb.open(path, max_readers=16, readonly=True, lock=False,
-                             readahead=False, meminit=False)
+        self.env = open_compat(path, max_readers=16, readonly=True,
+                               lock=False, readahead=False, meminit=False)
         with self.env.begin(write=False) as txn:
             self.image_ids = pickle.loads(txn.get(b"keys"))
         self.feat_dim = feat_dim
