@@ -27,6 +27,13 @@ def _train_like(args, mode: str):
         print(task_cfg, file=f)
         print(optim_cfg, file=f)
     mod, params = C.build_model(args, cfg)
+    if task_cfg.embed_clf:
+        from ..data.gqa import load_answer_vocab
+        ans2label, _ = load_answer_vocab(task_cfg.dataroot)
+        params = C.init_classifier_from_answers(
+            params, C.build_tokenizer(args), ans2label)
+        print(f"embed_clf: classifier initialized from word embeddings of "
+              f"{len(ans2label)} answers")
     code_mixer = C.build_code_mixer(task_cfg, args.seed) if mode != "eval" \
         else None
     feat_train = args.features_path or task_cfg.features_path_train

@@ -50,6 +50,9 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--adam_betas", type=float, nargs=2, default=(0.9, 0.999))
     p.add_argument("--adam_correct_bias", action="store_true", default=True)
     p.add_argument("--code_mixing", action="store_true", default=None)
+    p.add_argument("--embed_clf", action="store_true", default=None,
+                   help="initialize the classifier output from answer word "
+                        "embeddings (train_task.py:218-238)")
     p.add_argument("--resume", action="store_true")
     return p
 
@@ -63,6 +66,8 @@ def build_configs(args):
         overrides["num_epoch"] = args.num_epoch
     if getattr(args, "code_mixing", None) is not None:
         overrides["code_mixing"] = args.code_mixing
+    if getattr(args, "embed_clf", None) is not None:
+        overrides["embed_clf"] = args.embed_clf
     if getattr(args, "dataroot", ""):
         overrides["dataroot"] = args.dataroot
     if overrides:
@@ -210,9 +215,21 @@ def init_classifier_from_answers(params, tokenizer, ans2label: dict):
     word-embedding of each answer's tokens (train_task.py:218-238). The
     reference tokenizes each answer, averages the word embeddings (falling
     back to <unk> for empty tokenizations), and overwrites logit_fc.3's
-    weight rows; in our layout that is classifier.fc2.w columns."""
+    weight rows; in our layout that is classifier.fc2.w columns.
+
+    Quirk reproduced: rows are assigned in sorted(ans2label.items()) order —
+    sorted by ANSWER STRING — so when string order differs from label-id
+    order, row i holds the i-th sorted answer's embedding, not label i's
+    (exactly the reference loop at train_task.py:224-233)."""
     import numpy as np
     word = np.asarray(params["embeddings"]["word"])
+    clf_in = np.shape(params["classifier"]["fc2"]["w"])[0]
+    if word.shape[1] != clf_in:
+        # e.g. M3P: clf_hidden 1536 != hidden 768; the reference would crash
+        # on the same shape mismatch (module.weight.data assignment)
+        raise ValueError(
+            f"embed_clf needs clf_hidden == hidden ({clf_in} != "
+            f"{word.shape[1]}); the reference only supports this for UC2")
     rows = []
     for answer, _label in sorted(ans2label.items()):
         toks = tokenizer.tokenize(answer)

@@ -210,6 +210,8 @@ class TaskConfig:
     ratio: float = 1.0        # sentence-level replacement prob
     cross: float = 0.9        # token-level replacement prob
     dictionary_path: str = ""
+    # classifier init from answer word embeddings (train_task.py:218-238)
+    embed_clf: bool = False
 
     @classmethod
     def from_yaml(cls, path: str, task_id: str = "15") -> "TaskConfig":
@@ -239,6 +241,7 @@ class TaskConfig:
             ratio=float(raw.get("ratio", 1.0)),
             cross=float(raw.get("cross", 0.9)),
             dictionary_path=raw.get("dictionary_path", "") or "",
+            embed_clf=bool(raw.get("embed_clf", False)),
         )
 
 
