@@ -94,6 +94,10 @@ def multi_head_attention(
     Skv = x_kv.shape[1]
     hd = D // num_heads
 
+    # NOTE: a fused [D, 3D] qkv projection was tried and measured slower on
+    # v5e at these shapes (the trace-time weight concat costs ~85MB/step of
+    # HBM traffic; three [D, D] matmuls are already MXU-efficient). See
+    # docs/PERFORMANCE.md "QKV fusion".
     q = linear(x_q, p["q"], compute_dtype).reshape(B, Sq, num_heads, hd)
     k = linear(x_kv, p["k"], compute_dtype).reshape(B, Skv, num_heads, hd)
     v = linear(x_kv, p["v"], compute_dtype).reshape(B, Skv, num_heads, hd)

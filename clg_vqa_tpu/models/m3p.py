@@ -80,8 +80,10 @@ def init_params(rng: jax.Array, cfg: M3PConfig) -> Params:
 
 def encode(params: Params, cfg: M3PConfig, batch: dict, *,
            deterministic: bool = True, rng=None, compute_dtype=None,
-           remat: bool = False):
-    """jointfwd (m3p_transformer.py:877-964). Returns (sequence, pooled)."""
+           remat: bool = False, unroll: bool = False):
+    """jointfwd (m3p_transformer.py:877-964). Returns (sequence, pooled).
+
+    unroll: static 12-block program for the training path (see uc2.encode)."""
     e = params["embeddings"]
     eps = cfg.layer_norm_eps
     input_ids = batch["input_ids"]
@@ -145,7 +147,8 @@ def encode(params: Params, cfg: M3PConfig, batch: dict, *,
     stacked = {"attn": enc["attn"], "ln1": enc["ln1"],
                "ffn": enc["ffn"], "ln2": enc["ln2"]}
     block_fn = jax.checkpoint(block) if remat else block
-    h, _ = jax.lax.scan(block_fn, h, (stacked, layer_rngs))
+    h, _ = jax.lax.scan(block_fn, h, (stacked, layer_rngs),
+                        unroll=nL if unroll else 1)
 
     pooled = jnp.tanh(L.linear(h[:, 0], params["pooler"], compute_dtype))
     return h, pooled
@@ -153,11 +156,13 @@ def encode(params: Params, cfg: M3PConfig, batch: dict, *,
 
 def forward(params: Params, cfg: M3PConfig, batch: dict, *,
             deterministic: bool = True, rng=None,
-            compute_dtype=None, remat: bool = False) -> jnp.ndarray:
+            compute_dtype=None, remat: bool = False,
+            unroll: bool = False) -> jnp.ndarray:
     """M3PForVLTasks.forward for VL-classifier-GQA (encoders.py:1315-1352)."""
     _, pooled = encode(params, cfg, batch, deterministic=deterministic,
                        rng=None if rng is None else jax.random.fold_in(rng, 2),
-                       compute_dtype=compute_dtype, remat=remat)
+                       compute_dtype=compute_dtype, remat=remat,
+                       unroll=unroll)
     pooled = L.dropout(
         pooled, cfg.clf_dropout_prob,
         None if rng is None else jax.random.fold_in(rng, 3), deterministic)

@@ -128,10 +128,17 @@ def embed(params: Params, cfg: UC2Config, input_ids, features, locs,
 
 def encode(params: Params, cfg: UC2Config, batch: dict, *,
            deterministic: bool = True, rng=None, compute_dtype=None,
-           remat: bool = False):
+           remat: bool = False, unroll: bool = False):
     """Run embeddings + the collapsed 12-block joint encoder.
 
     Returns (joint_sequence [B, T+R, H], pooled [B, pooler_size]).
+
+    unroll: unroll the block scan into a static 12-block program. On the
+    training path this removes the scan's dynamic-update-slice traffic
+    (stacking per-layer residuals for the backward + scattering per-layer
+    dW into the stacked gradient), measured 81 -> 65 ms for the mbs=128
+    gradient on v5e. Inference keeps the rolled scan (smaller program,
+    marginally faster fwd).
     """
     input_ids = batch["input_ids"]
     t_emb, v_emb = embed(
@@ -173,13 +180,18 @@ def encode(params: Params, cfg: UC2Config, batch: dict, *,
                          cfg.layer_norm_eps)
         return h, None
 
+    # NOTE: a trace-time fused [H,3H] qkv projection (L.fuse_qkv) was
+    # measured SLOWER here on v5e (1230-1305 vs 1407 QA/s): the per-step
+    # concat materializes 12x768x2304 fp32 (~85MB HBM traffic) that three
+    # separate MXU-efficient [H,H] matmuls never pay. See docs/PERFORMANCE.md.
     stacked = {"attn": enc["attn"], "ln1": enc["ln1"],
                "ffn": enc["ffn"], "ln2": enc["ln2"]}
     # remat: recompute each block in backward instead of saving its
     # activations — trades ~30% encoder FLOPs for O(L) less HBM, letting the
     # full 256 batch train without gradient accumulation
     block_fn = jax.checkpoint(block) if remat else block
-    joint, _ = jax.lax.scan(block_fn, joint, (stacked, layer_rngs))
+    joint, _ = jax.lax.scan(block_fn, joint, (stacked, layer_rngs),
+                            unroll=nL if unroll else 1)
 
     # BertTextPooler on text token 0 == joint position 0 (text comes first);
     # fusion_act defaults to relu (volta/volta/config.py:254).
@@ -190,13 +202,15 @@ def encode(params: Params, cfg: UC2Config, batch: dict, *,
 
 def forward(params: Params, cfg: UC2Config, batch: dict, *,
             deterministic: bool = True, rng=None,
-            compute_dtype=None, remat: bool = False) -> jnp.ndarray:
+            compute_dtype=None, remat: bool = False,
+            unroll: bool = False) -> jnp.ndarray:
     """BertForVLTasks.forward for the VL-classifier-GQA head
     (volta/volta/encoders.py:1202-1259): fusion_method="text" -> dropout on
     pooled text, SimpleClassifier logits."""
     _, pooled = encode(params, cfg, batch, deterministic=deterministic,
                        rng=None if rng is None else jax.random.fold_in(rng, 2),
-                       compute_dtype=compute_dtype, remat=remat)
+                       compute_dtype=compute_dtype, remat=remat,
+                       unroll=unroll)
     pooled = L.dropout(
         pooled, cfg.clf_dropout_prob,
         None if rng is None else jax.random.fold_in(rng, 3), deterministic)

@@ -38,15 +38,17 @@ class TrainState(NamedTuple):
 def make_loss_fn(model_forward: Callable, cfg, distance_matrix, *,
                  semantic_lambda: float, top_k: int = 10,
                  compute_dtype=jnp.bfloat16, remat: bool = False,
-                 feature_bank=None) -> Callable:
+                 feature_bank=None, unroll: bool = True) -> Callable:
     def loss_fn(params, mb, rng):
         if feature_bank is not None and "store_idx" in mb:
             f, l, m = feature_bank.lookup(mb["store_idx"])
             mb = {**{k: v for k, v in mb.items() if k != "store_idx"},
                   "features": f, "locs": l, "image_mask": m}
+        # unroll=True: static-block encoder for the grad path (removes the
+        # scan's residual-stacking dynamic-update-slices; see uc2.encode)
         logits = model_forward(params, cfg, mb, deterministic=rng is None,
                                rng=rng, compute_dtype=compute_dtype,
-                               remat=remat)
+                               remat=remat, unroll=unroll)
         loss = gqa_train_loss(
             logits, mb["labels"], distance_matrix,
             semantic_lambda=semantic_lambda, top_k=top_k,
@@ -64,7 +66,8 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
                     grad_mask: Any = None,
                     use_dropout: bool = True,
                     remat: bool = False,
-                    feature_bank=None) -> Callable:
+                    feature_bank=None,
+                    unroll: bool = True) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     ``batch`` leaves are shaped [grad_acc, micro_bs, ...]. With a
@@ -74,7 +77,7 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
     loss_fn = make_loss_fn(model_forward, cfg, distance_matrix,
                            semantic_lambda=semantic_lambda, top_k=top_k,
                            compute_dtype=compute_dtype, remat=remat,
-                           feature_bank=feature_bank)
+                           feature_bank=feature_bank, unroll=unroll)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(state: TrainState, batch, rng):
@@ -92,7 +95,8 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
         zero = jax.tree.map(jnp.zeros_like, state.params)
         xs = (batch, rngs) if use_dropout else (batch, jnp.zeros((acc,)))
         (grads, loss, score), _ = jax.lax.scan(
-            micro, (zero, jnp.zeros(()), jnp.zeros(())), xs)
+            micro, (zero, jnp.zeros(()), jnp.zeros(())), xs,
+            unroll=acc if unroll else 1)
 
         if grad_mask is not None:
             grads = jax.tree.map(
