@@ -125,10 +125,11 @@ def res5_head(roi_feats, params: Params, *, halve: bool = False,
               stride_in_1x1: bool = True):
     """Res5 over RoI crops [R, Ph, Pw, 1024] -> mean-pooled [R, 2048]
     (Res5ROIHeads._shared_roi_transform + mean over spatial;
-    roi_heads.py / detectron2_proposal_maxnms.py:97-102). VG config:
-    RES5HALVE=False -> stride 1."""
+    roi_heads.py / detectron2_proposal_maxnms.py:97-102). VG config
+    RES5HALVE=False (roi_heads.py:340-349): block-1 conv1/shortcut stride
+    2 -> 1 AND every block's conv2 gets dilation=2 / padding=2."""
     x = stage(roi_feats, params["res5"], stride=2 if halve else 1,
-              stride_in_1x1=stride_in_1x1)
+              dilation=1 if halve else 2, stride_in_1x1=stride_in_1x1)
     return x.mean(axis=(1, 2)), x
 
 
