@@ -44,7 +44,8 @@ def main():
     opt = make_optimizer(params, warmup_linear_schedule(4e-5, 2000, 20000))
     state = tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
     step = jax.jit(
-        tl.make_train_step(uc2.forward, cfg, opt, D, semantic_lambda=10.0),
+        tl.make_train_step(uc2.forward, cfg, opt, D, semantic_lambda=10.0,
+                           unroll_accum=True),
         donate_argnums=(0,))
 
     # grad-accum layout: 2x128 is mathematically identical to the reference's

@@ -142,17 +142,24 @@ def cmd_extract(args):
         ex = ExtractorX101(params)
 
     paths = sorted(_glob.glob(os.path.join(args.images, "*")))
-    n = 0
-    with CfsWriter(args.out) as w:
+
+    def gen():
+        n = 0
         for p in paths:
             img = _load_image_bgr(p)
             if img is None:
                 continue
-            image_id = os.path.splitext(os.path.basename(p))[0]
-            w.add(ex.extract(img, image_id))
+            yield img, os.path.splitext(os.path.basename(p))[0]
             n += 1
             if args.limit and n >= args.limit:
-                break
+                return
+
+    n = 0
+    with CfsWriter(args.out) as w:
+        # pipelined: host decode/preprocess overlaps device inference
+        for rec in ex.extract_many(gen()):
+            w.add(rec)
+            n += 1
     print(f"extracted {n} images -> {args.out}")
 
 

@@ -62,11 +62,15 @@ class CfsWriter:
         f.write(struct.pack("<IIff", n, fd, float(rec.img_w), float(rec.img_h)))
         f.write(feats.tobytes())
         f.write(boxes.tobytes())
-        has_det = rec.obj_id is not None
-        f.write(struct.pack("<B", 1 if has_det else 0))
-        if has_det:
+        # detection block flags: 0 none, 1 obj+attr, 2 obj only (X101 records
+        # carry classes/confidences but no attribute head)
+        has_obj = rec.obj_id is not None
+        has_attr = has_obj and rec.attr_id is not None
+        f.write(struct.pack("<B", 1 if has_attr else (2 if has_obj else 0)))
+        if has_obj:
             f.write(np.ascontiguousarray(rec.obj_id, "<i4").tobytes())
             f.write(np.ascontiguousarray(rec.obj_conf, "<f4").tobytes())
+        if has_attr:
             f.write(np.ascontiguousarray(rec.attr_id, "<i4").tobytes())
             f.write(np.ascontiguousarray(rec.attr_conf, "<f4").tobytes())
 
@@ -133,12 +137,13 @@ class CfsReader:
         if self.version >= 2:
             doff = boff + n * 4 * 4
             (flags,) = struct.unpack_from("<B", self._mm, doff)
-            if flags & 1:
+            if flags in (1, 2):
                 doff += 1
                 rec.obj_id = np.frombuffer(self._mm, "<i4", count=n,
                                            offset=doff)
                 rec.obj_conf = np.frombuffer(self._mm, "<f4", count=n,
                                              offset=doff + 4 * n)
+            if flags == 1:          # attr head present (R101-C4 records)
                 rec.attr_id = np.frombuffer(self._mm, "<i4", count=n,
                                             offset=doff + 8 * n)
                 rec.attr_conf = np.frombuffer(self._mm, "<f4", count=n,

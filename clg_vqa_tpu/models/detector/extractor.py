@@ -163,10 +163,7 @@ class Extractor36:
         img = pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w])
         return img, (nh, nw), (rh, rw)
 
-    def extract(self, raw_bgr: np.ndarray, image_id: str) -> RegionRecord:
-        img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
-        out = self._jitted(self.params, img,
-                           jnp.asarray((nh, nw), jnp.int32))
+    def _finish(self, image_id, out, nh, nw, rh, rw) -> RegionRecord:
         # rescale boxes from network-input coords to the raw image
         boxes = heads.rescale_boxes(out["boxes"], rw / nw, rh / nh, (rh, rw))
         # one device->host transfer for all outputs
@@ -178,6 +175,30 @@ class Extractor36:
             img_w=float(rw), img_h=float(rh),
             obj_id=host["obj_id"], obj_conf=host["obj_conf"],
             attr_id=host["attr_id"], attr_conf=host["attr_conf"])
+
+    def extract(self, raw_bgr: np.ndarray, image_id: str) -> RegionRecord:
+        img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
+        out = self._jitted(self.params, img,
+                           jnp.asarray((nh, nw), jnp.int32))
+        return self._finish(image_id, out, nh, nw, rh, rw)
+
+    def extract_many(self, items, *, depth: int = 2):
+        """Pipelined bulk extraction over (raw_bgr, image_id) pairs: keeps
+        ``depth`` images in flight (async dispatch; only the final
+        device_get blocks), overlapping host preprocessing with the device
+        pipeline. The reference runs bs=1 synchronously
+        (detectron2_proposal_maxnms.py:196)."""
+        from collections import deque
+        q: deque = deque()
+        for raw_bgr, image_id in items:
+            img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
+            out = self._jitted(self.params, img,
+                               jnp.asarray((nh, nw), jnp.int32))
+            q.append((image_id, out, nh, nw, rh, rw))
+            if len(q) > depth:
+                yield self._finish(*q.popleft())
+        while q:
+            yield self._finish(*q.popleft())
 
 
 class GivenBoxExtractor:

@@ -124,9 +124,13 @@ class ExtractorX101:
         proposals = lvl_boxes.reshape(-1, 4)[top_i]
         pvalid = jnp.isfinite(top_s)
 
-        pyr32 = [p.astype(jnp.float32) for p in pyr]
-        crops = F.multilevel_roi_align(pyr32, proposals)
-        fc6, fc7 = F.box_head_fc(crops, params["box_head"])
+        # single flattened-pyramid RoIAlign pass (each box samples only its
+        # assigned level) on the bf16 pyramid, fp32 accumulation; fc6/fc7 as
+        # bf16 matmuls with fp32 accumulation when bf16 is on
+        crops = F.multilevel_roi_align_flat(pyr, proposals)
+        fc6, fc7 = F.box_head_fc(
+            crops, params["box_head"],
+            compute_dtype=jnp.bfloat16 if c.bf16 else None)
         cls_logits = fc7 @ params["predictor"]["cls_score"]["w"] \
             + params["predictor"]["cls_score"]["b"]
         probs = jax.nn.softmax(cls_logits, axis=-1)
@@ -153,14 +157,34 @@ class ExtractorX101:
         pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
         return pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w]), (nh, nw), (rh, rw)
 
-    def extract(self, raw_bgr: np.ndarray, image_id: str) -> RegionRecord:
-        img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
-        out = jax.device_get(
-            self._jitted(self.params, img, jnp.asarray((nh, nw), jnp.int32)))
-        scale = nh / rh
-        boxes = np.asarray(out["boxes"], np.float32) / scale
+    def _finish(self, image_id, out, nh, rh, rw) -> RegionRecord:
+        out = jax.device_get(out)
+        boxes = np.asarray(out["boxes"], np.float32) / (nh / rh)
         return RegionRecord(
             image_id=image_id,
             features=np.asarray(out["features"], np.float32),
             boxes=boxes, img_w=float(rw), img_h=float(rh),
             obj_id=out["obj_id"], obj_conf=out["obj_conf"])
+
+    def extract(self, raw_bgr: np.ndarray, image_id: str) -> RegionRecord:
+        img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
+        out = self._jitted(self.params, img, jnp.asarray((nh, nw), jnp.int32))
+        return self._finish(image_id, out, nh, rh, rw)
+
+    def extract_many(self, items, *, depth: int = 2):
+        """Pipelined bulk extraction: ``items`` yields (raw_bgr, image_id);
+        keeps ``depth`` images in flight so host preprocessing and the
+        device pipeline overlap (jax dispatch is async; only the final
+        device_get blocks). The reference driver runs bs=1 fully
+        synchronously (extract_features_vmb.py:229-244)."""
+        from collections import deque
+        q: deque = deque()
+        for raw_bgr, image_id in items:
+            img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
+            out = self._jitted(self.params, img,
+                               jnp.asarray((nh, nw), jnp.int32))
+            q.append((image_id, out, nh, rh, rw))
+            if len(q) > depth:
+                yield self._finish(*q.popleft())
+        while q:
+            yield self._finish(*q.popleft())

@@ -86,11 +86,41 @@ def multilevel_roi_align(pyramid: list, boxes: jnp.ndarray, *,
     return stacked[lvls, jnp.arange(boxes.shape[0])]
 
 
-def box_head_fc(crops: jnp.ndarray, params: Params):
-    """[R, C, 7, 7] -> (fc6_relu [R, D], fc7_relu [R, D])."""
+def multilevel_roi_align_flat(pyramid: list, boxes: jnp.ndarray, *,
+                              output_size=(7, 7), sampling_ratio: int = 2,
+                              base_stride: int = 4) -> jnp.ndarray:
+    """Same semantics as multilevel_roi_align but via ONE flattened-pyramid
+    pass (ops/roi.py:roi_align_flat): each box gathers only from its assigned
+    level — 1x instead of 4x the gather work. Accepts bf16 pyramids
+    (accumulates fp32)."""
+    from ...ops.roi import roi_align_flat
+    lvls = assign_levels(boxes)
+    feats = [jnp.moveaxis(p[0], -1, 0) for p in pyramid[:4]]   # [C, H, W]
+    shapes = tuple((f.shape[1], f.shape[2]) for f in feats)
+    flat = jnp.concatenate([f.reshape(f.shape[0], -1) for f in feats], axis=1)
+    scales = tuple(1.0 / (base_stride * (2 ** i)) for i in range(4))
+    return roi_align_flat(flat, boxes, lvls, level_shapes=shapes,
+                          spatial_scales=scales, output_size=output_size,
+                          sampling_ratio=sampling_ratio, aligned=False)
+
+
+def box_head_fc(crops: jnp.ndarray, params: Params, compute_dtype=None):
+    """[R, C, 7, 7] -> (fc6_relu [R, D], fc7_relu [R, D]); optional low-
+    precision matmuls with fp32 accumulation."""
     x = crops.reshape(crops.shape[0], -1)
-    fc6 = jax.nn.relu(x @ params["fc6"]["w"] + params["fc6"]["b"])
-    fc7 = jax.nn.relu(fc6 @ params["fc7"]["w"] + params["fc7"]["b"])
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w6 = params["fc6"]["w"].astype(compute_dtype)
+        w7 = params["fc7"]["w"].astype(compute_dtype)
+    else:
+        w6, w7 = params["fc6"]["w"], params["fc7"]["w"]
+    fc6 = jax.nn.relu(
+        jnp.dot(x, w6, preferred_element_type=jnp.float32)
+        + params["fc6"]["b"])
+    fc7 = jax.nn.relu(
+        jnp.dot(fc6.astype(x.dtype) if compute_dtype is not None else fc6,
+                w7, preferred_element_type=jnp.float32)
+        + params["fc7"]["b"])
     return fc6, fc7
 
 

@@ -132,3 +132,83 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray, *,
     acc = jax.lax.fori_loop(0, S * S, body,
                             jnp.zeros((C, R, PH, PW), jnp.float32))
     return jnp.transpose(acc / (S * S), (1, 0, 2, 3)).astype(features.dtype)
+
+
+@partial(jax.jit,
+         static_argnames=("output_size", "sampling_ratio", "aligned",
+                          "level_shapes"))
+def roi_align_flat(flat_features: jnp.ndarray, rois: jnp.ndarray,
+                   levels: jnp.ndarray, *, level_shapes: tuple,
+                   spatial_scales: tuple, output_size: tuple[int, int],
+                   sampling_ratio: int = 2,
+                   aligned: bool = True) -> jnp.ndarray:
+    """RoIAlign over a FLATTENED feature pyramid: ONE pass over R boxes where
+    each box samples its assigned level (vs aligning every box on every level
+    and selecting — 4x the gather work for FPN).
+
+    flat_features: [C, sum(H_l*W_l)] (levels concatenated along the flat
+    spatial axis); rois [R, 4] xyxy image coords; levels [R] int32 index into
+    ``level_shapes``/``spatial_scales``. Same per-level semantics as
+    roi_align. Returns [R, C, PH, PW] in fp32.
+    """
+    C = flat_features.shape[0]
+    PH, PW = output_size
+    R = rois.shape[0]
+    S = sampling_ratio
+    Hs = jnp.asarray([s[0] for s in level_shapes], jnp.int32)
+    Ws = jnp.asarray([s[1] for s in level_shapes], jnp.int32)
+    offs = jnp.asarray(
+        [0] + list(jnp.cumsum(jnp.asarray(
+            [s[0] * s[1] for s in level_shapes]))[:-1]), jnp.int32)
+    scales = jnp.asarray(spatial_scales, jnp.float32)
+
+    sc = scales[levels]                               # [R]
+    Hb = Hs[levels].astype(jnp.float32)
+    Wb = Ws[levels].astype(jnp.float32)
+    Wi = Ws[levels]                                   # int, row stride
+    off_b = offs[levels]
+
+    off = 0.5 if aligned else 0.0
+    x1 = rois[:, 0] * sc - off
+    y1 = rois[:, 1] * sc - off
+    rw = rois[:, 2] * sc - off - x1
+    rh = rois[:, 3] * sc - off - y1
+    if not aligned:
+        rw = jnp.maximum(rw, 1.0)
+        rh = jnp.maximum(rh, 1.0)
+    bin_h = rh / PH
+    bin_w = rw / PW
+
+    ph = jnp.arange(PH, dtype=jnp.float32)
+    pw = jnp.arange(PW, dtype=jnp.float32)
+
+    def body(k, acc):
+        iy = (k // S).astype(jnp.float32)
+        ix = (k % S).astype(jnp.float32)
+        ys = y1[:, None] + (ph[None] + (iy + 0.5) / S) * bin_h[:, None]
+        xs = x1[:, None] + (pw[None] + (ix + 0.5) / S) * bin_w[:, None]
+        inside = ((ys >= -1.0) & (ys <= Hb[:, None]))[:, :, None] \
+            & ((xs >= -1.0) & (xs <= Wb[:, None]))[:, None, :]
+        y = jnp.clip(ys, 0.0, Hb[:, None] - 1)
+        x = jnp.clip(xs, 0.0, Wb[:, None] - 1)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, (Hb[:, None] - 1).astype(jnp.int32))
+        x1i = jnp.minimum(x0 + 1, (Wb[:, None] - 1).astype(jnp.int32))
+        ly = (y - y0)[:, :, None]
+        lx = (x - x0)[:, None, :]
+        hy, hx = 1.0 - ly, 1.0 - lx
+
+        def g(yy, xx):
+            lin = (off_b[:, None, None] + yy[:, :, None] * Wi[:, None, None]
+                   + xx[:, None, :]).reshape(-1)
+            return flat_features[:, lin].reshape(C, R, PH, PW)
+
+        val = (g(y0, x0) * (hy * hx)[None] + g(y0, x1i) * (hy * lx)[None]
+               + g(y1i, x0) * (ly * hx)[None] + g(y1i, x1i) * (ly * lx)[None])
+        val = jnp.where(inside[None], val.astype(jnp.float32), 0.0)
+        return acc + val
+
+    acc = jax.lax.fori_loop(0, S * S, body,
+                            jnp.zeros((C, R, PH, PW), jnp.float32))
+    return jnp.transpose(acc / (S * S), (1, 0, 2, 3))

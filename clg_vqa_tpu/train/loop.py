@@ -67,12 +67,18 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
                     use_dropout: bool = True,
                     remat: bool = False,
                     feature_bank=None,
-                    unroll: bool = True) -> Callable:
+                    unroll: bool = True,
+                    unroll_accum: bool = False) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     ``batch`` leaves are shaped [grad_acc, micro_bs, ...]. With a
     feature_bank, batches carry int32 'store_idx' instead of features and the
     region tensors are gathered from HBM inside the step.
+
+    unroll: static-block encoder on the grad path (see uc2.encode) — big win,
+    memory-neutral. unroll_accum: additionally unroll the accumulation scan;
+    ~3% more throughput on UC2 but lets XLA interleave microbatches, which
+    can exceed HBM at longer sequences (M3P S=140 OOMs) — opt in per recipe.
     """
     loss_fn = make_loss_fn(model_forward, cfg, distance_matrix,
                            semantic_lambda=semantic_lambda, top_k=top_k,
@@ -96,7 +102,7 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
         xs = (batch, rngs) if use_dropout else (batch, jnp.zeros((acc,)))
         (grads, loss, score), _ = jax.lax.scan(
             micro, (zero, jnp.zeros(()), jnp.zeros(())), xs,
-            unroll=acc if unroll else 1)
+            unroll=acc if unroll_accum else 1)
 
         if grad_mask is not None:
             grads = jax.tree.map(

@@ -256,3 +256,26 @@ def test_batched_nms_fixpoint_per_class_boxes():
         ref = np_nms(boxes[c], s[c], 0.5)
         np.testing.assert_array_equal(np.sort(np.where(keep[c])[0]),
                                       np.sort(ref))
+
+
+def test_multilevel_roi_align_flat_matches_per_level():
+    """The flattened-pyramid single-pass RoIAlign (ops/roi.py:roi_align_flat)
+    must reproduce the align-on-every-level-then-select formulation exactly
+    in fp32 (each box gathers only its assigned level)."""
+    from clg_vqa_tpu.models.detector import fpn as F
+    r = np.random.RandomState(7)
+    pyr = [jnp.asarray(r.randn(1, 96 // (2 ** i), 160 // (2 ** i), 32),
+                       jnp.float32) for i in range(5)]
+    # box sizes spanning all 4 assignment levels (stride-4 image 384x640)
+    sizes = np.concatenate([r.rand(16) * 60 + 10, r.rand(16) * 150 + 80,
+                            r.rand(16) * 250 + 200, r.rand(16) * 300 + 400])
+    cx = r.rand(64) * 500 + 50
+    cy = r.rand(64) * 300 + 40
+    boxes = jnp.asarray(np.stack([cx - sizes / 2, cy - sizes / 2,
+                                  cx + sizes / 2, cy + sizes / 2], 1),
+                        jnp.float32)
+    a = np.asarray(F.multilevel_roi_align(pyr, boxes))
+    b = np.asarray(F.multilevel_roi_align_flat(pyr, boxes))
+    lvls = np.asarray(F.assign_levels(boxes))
+    assert len(np.unique(lvls)) >= 3, "test should span several levels"
+    np.testing.assert_array_equal(a, b)
