@@ -8,6 +8,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import deque
 from typing import Callable
 
 import jax
@@ -15,15 +16,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_eval(forward: Callable, params, cfg, dataset, label2ans: list, *,
-             batch_size: int = 256, compute_dtype=jnp.bfloat16,
-             out_path: str | None = None, split: str = "test",
-             log_every: int = 0, device_bank=None) -> dict:
-    """Returns {"results": [...], "n": int, "qa_per_sec": float,
-    "accuracy": float | None (if the dataset has labels)}.
-
-    device_bank: optional data.device_bank.DeviceFeatureBank — features are
-    then gathered on device by index (no per-batch feature upload)."""
+def make_predict_step(forward: Callable, cfg, *, device_bank=None,
+                      compute_dtype=jnp.bfloat16) -> Callable:
+    """Jitted (params, batch) -> argmax predictions. Build ONCE and reuse
+    across run_eval calls so compilation is paid a single time."""
 
     @jax.jit
     def step(params, batch):
@@ -34,30 +30,64 @@ def run_eval(forward: Callable, params, cfg, dataset, label2ans: list, *,
                          compute_dtype=compute_dtype)
         return jnp.argmax(logits, axis=-1)
 
+    return step
+
+
+def run_eval(forward: Callable, params, cfg, dataset, label2ans: list, *,
+             batch_size: int = 256, compute_dtype=jnp.bfloat16,
+             out_path: str | None = None, split: str = "test",
+             log_every: int = 0, device_bank=None, depth: int = 2,
+             step: Callable | None = None) -> dict:
+    """Returns {"results": [...], "n": int, "qa_per_sec": float,
+    "accuracy": float | None (if the dataset has labels)}.
+
+    device_bank: optional data.device_bank.DeviceFeatureBank — features are
+    then gathered on device by index (no per-batch feature upload).
+    step: optional prebuilt make_predict_step result (reuse avoids
+    re-jitting across splits/languages).
+
+    Pipelined: jax dispatch is async, so up to ``depth`` batches stay in
+    flight and host batch assembly (tokenize/gather) overlaps device
+    compute; only the prediction fetch of the oldest batch blocks. The
+    reference eval loop is fully synchronous (eval_task.py:183-201)."""
+    if step is None:
+        step = make_predict_step(forward, cfg, device_bank=device_bank,
+                                 compute_dtype=compute_dtype)
+
     results = []
     n_total = 0
     n_correct = 0
     n_labeled = 0
+
+    def consume(host_qids, valid, has_label, labels, preds_dev):
+        nonlocal n_total, n_correct, n_labeled
+        preds = np.asarray(preds_dev)
+        keep = valid != 0
+        lab = (has_label != 0) & keep
+        n_total += int(keep.sum())
+        n_labeled += int(lab.sum())
+        n_correct += int((labels[lab] == preds[lab]).sum())
+        results.extend(
+            {"questionId": str(q), "prediction": label2ans[int(p)]}
+            for q, p in zip(host_qids[keep], preds[keep]))
+        if log_every and n_total % log_every < batch_size:
+            print(f"  eval {n_total}/{len(dataset)}")
+
     t0 = time.time()
+    inflight: deque = deque()
     for batch in dataset.iter_batches(batch_size,
                                       with_features=device_bank is None):
         host_qids = batch.pop("question_id")
         valid = batch.pop("valid")
         has_label = batch.pop("has_label")
         labels = batch.pop("labels")
-        preds = np.asarray(step(params, {
-            k: jnp.asarray(v) for k, v in batch.items()}))
-        for j in range(len(preds)):
-            if valid[j] == 0:
-                continue
-            results.append({"questionId": str(host_qids[j]),
-                            "prediction": label2ans[int(preds[j])]})
-            n_total += 1
-            if has_label[j]:
-                n_correct += int(labels[j] == preds[j])
-                n_labeled += 1
-        if log_every and n_total % log_every < batch_size:
-            print(f"  eval {n_total}/{len(dataset)}")
+        preds_dev = step(params, {k: jnp.asarray(v)
+                                  for k, v in batch.items()})
+        inflight.append((host_qids, valid, has_label, labels, preds_dev))
+        if len(inflight) > depth:
+            consume(*inflight.popleft())
+    while inflight:
+        consume(*inflight.popleft())
     dt = time.time() - t0
 
     if out_path:

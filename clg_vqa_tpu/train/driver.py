@@ -105,16 +105,28 @@ class FinetuneRunner:
         if self.val_ds is None:
             return 0.0
         bank = self._val_bank
+        # Keep 2 eval batches in flight (async dispatch) so host batch
+        # assembly overlaps device compute; only the metric fetch of the
+        # oldest batch blocks. The reference eval loop is synchronous.
+        from collections import deque
+        inflight: deque = deque()
+
+        def consume(m):
+            self.logger.step_val(float(m["loss"]), float(m["correct"]),
+                                 float(m["count"]))
+
         for b in self.val_ds.iter_batches(self.eval_bs,
                                           with_features=bank is None):
             b.pop("question_id", None)
             b.pop("has_label", None)
             if bank is not None:
                 b = bank.fill_batch(b)
-            m = self.eval_step(params, jax.device_put(
-                {k: jnp.asarray(v) for k, v in b.items()}))
-            self.logger.step_val(float(m["loss"]), float(m["correct"]),
-                                 float(m["count"]))
+            inflight.append(self.eval_step(params, jax.device_put(
+                {k: jnp.asarray(v) for k, v in b.items()})))
+            if len(inflight) > 2:
+                consume(inflight.popleft())
+        while inflight:
+            consume(inflight.popleft())
         return self.logger.show_val(epoch)
 
     def _train_epoch(self, state, step_fn, epoch, *, log_every=20):

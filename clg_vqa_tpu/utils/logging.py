@@ -12,15 +12,20 @@ from typing import Any
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: str | None = None, task: str = "GQA"):
+    def __init__(self, log_dir: str | None = None, task: str = "GQA",
+                 tensorboard: bool = True):
         self.task = task
         self.log_dir = log_dir
         self._jsonl = None
         self._txt = None
+        self._tb = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
             self._txt = open(os.path.join(log_dir, "out.txt"), "a")
+            if tensorboard:
+                from .tb_events import EventWriter
+                self._tb = EventWriter(log_dir)
         self.reset_train()
         self.reset_val()
         self.global_step = 0
@@ -75,6 +80,12 @@ class MetricsLogger:
         if self._jsonl:
             self._jsonl.write(json.dumps(rec) + "\n")
             self._jsonl.flush()
+        if self._tb:
+            kind = rec.get("kind", "train")
+            scalars = {f"{kind}/{self.task}_{k}": float(rec[k])
+                       for k in ("loss", "score", "lr") if k in rec}
+            if scalars:
+                self._tb.add_scalars(scalars, rec.get("step", 0))
 
     def _print(self, msg: str):
         print(msg)
@@ -89,7 +100,7 @@ class MetricsLogger:
         self.global_step = d.get("global_step", 0)
 
     def close(self):
-        for f in (self._jsonl, self._txt):
+        for f in (self._jsonl, self._txt, self._tb):
             if f:
                 f.close()
 

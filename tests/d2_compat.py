@@ -326,7 +326,11 @@ class _PathManager:
 
 
 def _module(name, **attrs):
+    import importlib.machinery
     m = types.ModuleType(name)
+    # A real ModuleSpec, or later importlib.util.find_spec(name) raises
+    # "ValueError: __spec__ is None" (e.g. transformers probing torchvision)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
     for k, v in attrs.items():
         setattr(m, k, v)
     sys.modules[name] = m

@@ -97,7 +97,10 @@ def test_cli_flag_initializes_runner_params(tmp_path, monkeypatch, capsys):
     from clg_vqa_tpu.data.cfs import CfsWriter
     from clg_vqa_tpu.data.features import RegionRecord
     from clg_vqa_tpu.train.driver import FinetuneRunner
-    from tests.tools_cfg_helper import make_ref_cfg_dict
+    import sys
+    if os.path.dirname(__file__) not in sys.path:
+        sys.path.insert(0, os.path.dirname(__file__))
+    from tools_cfg_helper import make_ref_cfg_dict  # noqa: E402
 
     r = np.random.RandomState(0)
     L = 3

@@ -176,7 +176,10 @@ def test_cli_train_from_tdlmdb(tmp_path, capsys):
     cfs = str(tmp_path / "val.cfs")
     td.tdlmdb_to_cfs(tdp, cfs, None, feat_dim=16)
 
-    from tests.tools_cfg_helper import make_ref_cfg_dict
+    import sys
+    if os.path.dirname(__file__) not in sys.path:
+        sys.path.insert(0, os.path.dirname(__file__))
+    from tools_cfg_helper import make_ref_cfg_dict  # noqa: E402
     model_json = str(tmp_path / "model.json")
     json.dump(make_ref_cfg_dict(2, hidden=32, heads=2, inter=64, vocab=128,
                                 vfeat=16, labels=L), open(model_json, "w"))

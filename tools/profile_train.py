@@ -1,0 +1,142 @@
+"""XProf capture + op-level breakdown of the UC2 (or M3P) train step.
+
+Runs a few steady-state steps under jax.profiler and prints the top device
+ops by self-time from the captured trace (no TensorBoard UI needed — parses
+the xplane protobuf via tensorboard_plugin_profile when available, else
+leaves the raw trace directory for manual inspection).
+
+Usage: python tools/profile_train.py [--m3p] [--steps N] [--out DIR]
+"""
+import argparse
+import glob
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def top_ops_from_xspace(logdir: str, k: int = 30):
+    """Parse the .xplane.pb trace and aggregate device op self-times."""
+    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        return None
+    xspace = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+    rows = {}
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "Steps" not in line.name:
+                pass
+            for ev in line.events:
+                name = ev_meta.get(ev.metadata_id, "?")
+                if "XLA Ops" in line.name:
+                    rows[name] = rows.get(name, 0) + ev.duration_ps
+    total = sum(rows.values())
+    out = sorted(rows.items(), key=lambda kv: -kv[1])[:k]
+    return [(n, ps / 1e9, 100.0 * ps / max(total, 1)) for n, ps in out], \
+        total / 1e9
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m3p", action="store_true")
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--out", default="/tmp/xprof_train")
+    ap.add_argument("--acc", type=int, default=2)
+    ap.add_argument("--mbs", type=int, default=128)
+    ap.add_argument("--unroll-accum", action="store_true", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from clg_vqa_tpu.train import loop as tl
+    from clg_vqa_tpu.train.optim import make_optimizer, warmup_linear_schedule
+
+    r = np.random.RandomState(0)
+    if args.m3p:
+        from clg_vqa_tpu.config import M3PConfig
+        from clg_vqa_tpu.models import m3p as mod
+        cfg = M3PConfig()
+        T, R, nl = 40, 100, 5
+        unroll_accum = (args.unroll_accum if args.unroll_accum is not None
+                        else False)
+    else:
+        from clg_vqa_tpu.config import UC2Config
+        from clg_vqa_tpu.models import uc2 as mod
+        cfg = UC2Config()
+        T, R, nl = 40, 36, 7
+        unroll_accum = (args.unroll_accum if args.unroll_accum is not None
+                        else True)
+
+    params = mod.init_params(jax.random.key(0), cfg)
+    D = jnp.asarray(r.rand(cfg.num_labels, cfg.num_labels)
+                    .astype(np.float32))
+    opt = make_optimizer(params, warmup_linear_schedule(4e-5, 100, 10000))
+    state = tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(tl.make_train_step(
+        mod.forward, cfg, opt, D, semantic_lambda=10.0, top_k=10,
+        compute_dtype=jnp.bfloat16, unroll_accum=unroll_accum),
+        donate_argnums=(0,))
+
+    acc, mbs = args.acc, args.mbs
+    batch = {
+        "input_ids": jnp.asarray(
+            r.randint(3, cfg.vocab_size, (acc, mbs, T)), jnp.int32),
+        "input_mask": jnp.ones((acc, mbs, T), jnp.int32),
+        "features": jnp.asarray(
+            r.randn(acc, mbs, R, cfg.v_feature_size), np.float32),
+        "locs": jnp.asarray(r.rand(acc, mbs, R, nl), np.float32),
+        "image_mask": jnp.ones((acc, mbs, R), jnp.int32),
+        "labels": jnp.asarray(r.randint(0, cfg.num_labels, (acc, mbs)),
+                              jnp.int32),
+    }
+    rng = jax.random.key(0, impl="rbg")
+
+    # warmup
+    import time
+    for _ in range(3):
+        state, m = step(state, batch, rng)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, m = step(state, batch, rng)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / args.steps
+    print(f"steady-state: {dt*1e3:.1f} ms/step -> "
+          f"{acc*mbs/dt:.0f} QA/s", file=sys.stderr)
+
+    jax.profiler.start_trace(args.out)
+    for _ in range(args.steps):
+        state, m = step(state, batch, rng)
+    jax.block_until_ready(m)
+    jax.profiler.stop_trace()
+
+    try:
+        res = top_ops_from_xspace(args.out)
+    except Exception as e:
+        print(f"xplane parse failed ({e}); trace left at {args.out}",
+              file=sys.stderr)
+        return
+    if res is None:
+        print(f"no xplane.pb found under {args.out}", file=sys.stderr)
+        return
+    rows, total = res
+    print(f"total device op time {total/args.steps:.1f} ms/step "
+          f"({args.steps} steps)")
+    for name, ms, pct in rows:
+        print(f"{ms/args.steps:9.3f} ms {pct:5.1f}%  {name[:100]}")
+
+
+if __name__ == "__main__":
+    main()
