@@ -41,8 +41,14 @@ def main():
     params = uc2.init_params(jax.random.key(0), cfg)
     D = jnp.asarray(np.random.RandomState(0)
                     .rand(cfg.num_labels, cfg.num_labels).astype(np.float32))
-    opt = make_optimizer(params, warmup_linear_schedule(4e-5, 2000, 20000))
-    state = tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    from clg_vqa_tpu.models.layers import unstack_layer_params
+    # per-layer training layout (loop.perlayer_state): encoder grads as
+    # independent leaves — no stacked-gradient DUS copies in the backward
+    opt = make_optimizer(unstack_layer_params(params, cfg.num_layers),
+                         warmup_linear_schedule(4e-5, 2000, 20000))
+    state = tl.perlayer_state(
+        tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32)),
+        cfg.num_layers)
     step = jax.jit(
         tl.make_train_step(uc2.forward, cfg, opt, D, semantic_lambda=10.0,
                            unroll_accum=True),

@@ -54,6 +54,9 @@ def add_train_args(p: argparse.ArgumentParser):
                    help="initialize the classifier output from answer word "
                         "embeddings (train_task.py:218-238)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--loss", default="",
+                   help="override the task criterion (LossMap name, "
+                        "task_utils.py:179-192); empty = task YAML default")
     return p
 
 
@@ -68,6 +71,10 @@ def build_configs(args):
         overrides["code_mixing"] = args.code_mixing
     if getattr(args, "embed_clf", None) is not None:
         overrides["embed_clf"] = args.embed_clf
+    if getattr(args, "loss", ""):
+        # reference precedence: args.loss or task_cfg[task]["loss"]
+        # (task_utils.py:181)
+        overrides["loss"] = args.loss
     if getattr(args, "dataroot", ""):
         overrides["dataroot"] = args.dataroot
     if overrides:

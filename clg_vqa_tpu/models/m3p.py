@@ -146,9 +146,8 @@ def encode(params: Params, cfg: M3PConfig, batch: dict, *,
 
     stacked = {"attn": enc["attn"], "ln1": enc["ln1"],
                "ffn": enc["ffn"], "ln2": enc["ln2"]}
-    block_fn = jax.checkpoint(block) if remat else block
-    h, _ = jax.lax.scan(block_fn, h, (stacked, layer_rngs),
-                        unroll=nL if unroll else 1)
+    h = L.apply_blocks(block, h, stacked, layer_rngs, nL,
+                       remat=remat, unroll=unroll)
 
     pooled = jnp.tanh(L.linear(h[:, 0], params["pooler"], compute_dtype))
     return h, pooled

@@ -188,10 +188,11 @@ def encode(params: Params, cfg: UC2Config, batch: dict, *,
                "ffn": enc["ffn"], "ln2": enc["ln2"]}
     # remat: recompute each block in backward instead of saving its
     # activations — trades ~30% encoder FLOPs for O(L) less HBM, letting the
-    # full 256 batch train without gradient accumulation
-    block_fn = jax.checkpoint(block) if remat else block
-    joint, _ = jax.lax.scan(block_fn, joint, (stacked, layer_rngs),
-                            unroll=nL if unroll else 1)
+    # full 256 batch train without gradient accumulation.
+    # Per-layer-tuple leaves (layers.unstack_layer_params, the training
+    # path) run as a static Python loop with independent grad leaves.
+    joint = L.apply_blocks(block, joint, stacked, layer_rngs, nL,
+                           remat=remat, unroll=unroll)
 
     # BertTextPooler on text token 0 == joint position 0 (text comes first);
     # fusion_act defaults to relu (volta/volta/config.py:254).

@@ -68,18 +68,37 @@ def semantic_prior_loss(logits: jnp.ndarray, labels: jnp.ndarray,
 def gqa_train_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                    distance_matrix: jnp.ndarray, *,
                    semantic_lambda: float = 10.0, top_k: int = 10,
-                   num_labels: int | None = None) -> jnp.ndarray:
+                   num_labels: int | None = None,
+                   criterion: str = "CrossEntropyLoss") -> jnp.ndarray:
     """The full VL-classifier-GQA training loss (task_utils.py:413-425):
 
-        loss = num_labels * ( CE(logits, label) + lambda * semantic_loss )
+        loss = num_labels * ( criterion(logits, label) + lambda * sem_loss )
 
     The num_labels multiplier reproduces the reference's
     ``loss.mean() * target.size(1)`` scaling (inherited from the VQA BCE
     recipe); it matters for effective learning rate.
+
+    ``criterion`` mirrors the reference's ``--loss``/LossMap dispatch
+    (task_utils.py:179-192): the chosen criterion is applied with argmax
+    targets inside the GQA branch (423). "CrossEntropyLoss" is the recipe
+    default; "LogitNormLoss" is the commented-in alternative (186).
     """
     if num_labels is None:
         num_labels = logits.shape[-1]
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    x = logits.astype(jnp.float32)
+    if criterion == "LogitNormLoss":        # task_utils.py:161-170
+        x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-7) / 0.01
+    elif criterion != "CrossEntropyLoss":
+        raise ValueError(f"criterion {criterion!r} is not valid for the "
+                         "VL-classifier-GQA task type (task_utils.py:423)")
+    logp = jax.nn.log_softmax(x, axis=-1)
     ce = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
     sem = semantic_prior_loss(logits, labels, distance_matrix, top_k)
     return num_labels * (ce + semantic_lambda * sem)
+
+
+def vqa_train_loss(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """The plain VL-classifier (VQA soft-target) branch, task_utils.py:409-411:
+    ``BCEWithLogitsLoss(mean)(logits, target) * target.size(1)``."""
+    from .aux_losses import bce_with_logits_loss
+    return bce_with_logits_loss(logits, target) * target.shape[-1]

@@ -22,17 +22,24 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from .loop import TrainState
+from .loop import TrainState, stacked_state
 
 
 def _path(d: str, name: str) -> str:
     return os.path.abspath(os.path.join(d, name))
 
 
+def _stacked(params: Any) -> Any:
+    """Normalize per-layer training-layout params (loop.perlayer_state) back
+    to the stacked on-disk layout; no-op on stacked trees."""
+    from ..models.layers import restack_layer_tree
+    return restack_layer_tree(params) if isinstance(params, dict) else params
+
+
 def save_params(ckpt_dir: str, name: str, params: Any) -> None:
     os.makedirs(ckpt_dir, exist_ok=True)
     with ocp.PyTreeCheckpointer() as c:
-        c.save(_path(ckpt_dir, name), params, force=True)
+        c.save(_path(ckpt_dir, name), _stacked(params), force=True)
 
 
 def load_params(ckpt_dir: str, name: str, like: Any | None = None) -> Any:
@@ -46,6 +53,7 @@ def load_params(ckpt_dir: str, name: str, like: Any | None = None) -> Any:
 def save_state(ckpt_dir: str, state: TrainState, *, epoch: int,
                best_score: float, extra: dict | None = None) -> None:
     os.makedirs(ckpt_dir, exist_ok=True)
+    state = stacked_state(state)      # on-disk layout is always stacked
     with ocp.PyTreeCheckpointer() as c:
         c.save(_path(ckpt_dir, "state_latest"),
                {"params": state.params, "opt_state": state.opt_state,
@@ -81,7 +89,7 @@ def export_torch_bin(path: str, params: Any, model: str = "uc2",
     tooling (eval_task.py etc.) can consume our fine-tuned weights."""
     from ..utils.convert import pytree_to_volta_m3p, pytree_to_volta_uc2
     to_sd = pytree_to_volta_uc2 if model == "uc2" else pytree_to_volta_m3p
-    sd = to_sd(jax.tree.map(np.asarray, params), task_key)
+    sd = to_sd(jax.tree.map(np.asarray, _stacked(params)), task_key)
     try:
         import torch
         torch.save({k: torch.from_numpy(np.ascontiguousarray(v))

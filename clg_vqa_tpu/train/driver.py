@@ -87,18 +87,28 @@ class FinetuneRunner:
         warmup = int(oc.warmup_proportion * total)
         sched = warmup_linear_schedule(self.task_cfg.lr, warmup, total) \
             if oc.lr_scheduler == "warmup_linear" else self.task_cfg.lr
-        return make_optimizer(self.params0, sched, b1=oc.adam_betas[0],
+        # decay mask built in the per-layer layout — update() runs on
+        # perlayer_state states (init() is layout-agnostic)
+        from ..models.layers import unstack_layer_params
+        params_like = unstack_layer_params(self.params0,
+                                           getattr(self.cfg, "num_layers", 0))
+        return make_optimizer(params_like, sched, b1=oc.adam_betas[0],
                               b2=oc.adam_betas[1], eps=oc.adam_epsilon,
                               weight_decay=oc.weight_decay,
                               correct_bias=oc.correct_bias,
                               clip_norm=oc.clip_grad_norm)
+
+    def _perlayer(self, state: TrainState) -> TrainState:
+        from .loop import perlayer_state
+        return perlayer_state(state, getattr(self.cfg, "num_layers", 0))
 
     def _make_step(self, opt, grad_mask=None):
         return jax.jit(make_train_step(
             self.fwd, self.cfg, opt, self.D,
             semantic_lambda=self.task_cfg.semantic_lambda,
             top_k=self.task_cfg.semantic_top_k,
-            compute_dtype=self.compute_dtype, grad_mask=grad_mask),
+            compute_dtype=self.compute_dtype, grad_mask=grad_mask,
+            criterion=self.task_cfg.loss),
             donate_argnums=(0,))
 
     def evaluate(self, params, epoch: int) -> float:
@@ -174,6 +184,7 @@ class FinetuneRunner:
                 self.logger.load_state_dict(meta.get("logger", {}))
             except FileNotFoundError:
                 pass
+        state = self._perlayer(state)     # training layout (loop.py)
         for epoch in range(start_epoch, self.task_cfg.num_epoch):
             state = self._train_epoch(state, step_fn, epoch)
             score = self.evaluate(state.params, epoch)
@@ -192,11 +203,13 @@ class FinetuneRunner:
             opt = self._build_opt()          # rebuilt each round (791-866)
             step_fn = self._make_step(opt, grad_mask=pr.grad_mask_tree(mask))
             params = pr.apply_mask(self._fresh_theta0(), mask)
-            state = TrainState(params, opt.init(params),
-                               jnp.zeros((), jnp.int32))
+            state = self._perlayer(TrainState(params, opt.init(params),
+                                              jnp.zeros((), jnp.int32)))
             state = self._train_epoch(state, step_fn, epoch)
+            from ..models.layers import restack_layer_tree
             mask = pr.imp_prune_step(
-                jax.tree.map(np.asarray, state.params), mask, fraction)
+                jax.tree.map(np.asarray, restack_layer_tree(state.params)),
+                mask, fraction)
             sp = pr.sparsity(mask)
             # Reference order (train_task_prunning.py:791-877): prune ->
             # rewind to theta_0 -> rebuild optimizer -> evaluate the REWOUND
@@ -218,8 +231,8 @@ class FinetuneRunner:
         params = pr.apply_mask(self._fresh_theta0(), mask)
         opt = self._build_opt()
         step_fn = self._make_step(opt, grad_mask=pr.grad_mask_tree(mask))
-        state = TrainState(params, opt.init(params),
-                           jnp.zeros((), jnp.int32))
+        state = self._perlayer(TrainState(params, opt.init(params),
+                                          jnp.zeros((), jnp.int32)))
         best = -1.0
         for epoch in range(self.task_cfg.num_epoch):
             state = self._train_epoch(state, step_fn, epoch)

@@ -35,10 +35,82 @@ class TrainState(NamedTuple):
     step: jnp.ndarray            # completed optimizer updates
 
 
+# ---------------------------------------------------------------------------
+# Parameter layouts: stacked [L, ...] encoder leaves (checkpoint / eval /
+# sharded layout) vs per-layer tuples (single-chip training layout).
+#
+# Differentiating w.r.t. stacked per-layer weights makes XLA materialize one
+# full-buffer dynamic-update-slice copy per layer per microbatch when
+# stacking dW (~22 ms/step at UC2 scale) — and restacking gradients inside
+# the step costs another ~11 ms. Keeping the whole TrainState per-layer
+# during training removes both; checkpoints stay stacked on disk
+# (checkpoints.py normalizes), so the external format is unchanged.
+# ---------------------------------------------------------------------------
+
+def _has_perlayer(tree: Any) -> bool:
+    from ..models.layers import _is_tuple
+    enc = tree.get("encoder") if isinstance(tree, dict) else None
+    if enc is None:
+        return False
+    return any(map(_is_tuple, jax.tree.leaves(enc, is_leaf=_is_tuple)))
+
+
+def _map_opt_params(opt_state: Any, f) -> Any:
+    """Apply f to the param-shaped members (mu/nu) of optimizer states."""
+    from .optim import AdamWState, RAdamState
+    if isinstance(opt_state, (AdamWState, RAdamState)):
+        return type(opt_state)(count=opt_state.count,
+                               mu=f(opt_state.mu), nu=f(opt_state.nu))
+    if isinstance(opt_state, tuple):
+        fixed = [_map_opt_params(x, f) for x in opt_state]
+        return (type(opt_state)(*fixed) if hasattr(opt_state, "_fields")
+                else tuple(fixed))
+    return opt_state
+
+
+def _unstack_mask_tree(mask: Any, num_layers: int) -> Any:
+    """Per-layer layout for a grad-mask tree: stacked arrays under
+    'encoder' become tuples of slices, None (pass-through) leaves become
+    tuples of None so the structure matches per-layer gradients."""
+    def walk(tree):
+        if isinstance(tree, dict):
+            return {k: walk(v) for k, v in tree.items()}
+        if tree is None:
+            return tuple([None] * num_layers)
+        return tuple(tree[l] for l in range(num_layers))
+
+    if not isinstance(mask, dict) or "encoder" not in mask:
+        return mask
+    out = dict(mask)
+    out["encoder"] = walk(mask["encoder"])
+    return out
+
+
+def perlayer_state(state: TrainState, num_layers: int) -> TrainState:
+    """Convert a stacked TrainState to the per-layer training layout
+    (params and AdamW/RAdam mu/nu encoder leaves become tuples of L)."""
+    from ..models import layers as _L
+
+    def un(t):
+        return _L.unstack_layer_params(t, num_layers)
+
+    return TrainState(un(state.params),
+                      _map_opt_params(state.opt_state, un), state.step)
+
+
+def stacked_state(state: TrainState) -> TrainState:
+    """Inverse of perlayer_state (idempotent on stacked states)."""
+    from ..models import layers as _L
+    re = _L.restack_layer_tree
+    return TrainState(re(state.params),
+                      _map_opt_params(state.opt_state, re), state.step)
+
+
 def make_loss_fn(model_forward: Callable, cfg, distance_matrix, *,
                  semantic_lambda: float, top_k: int = 10,
                  compute_dtype=jnp.bfloat16, remat: bool = False,
-                 feature_bank=None, unroll: bool = True) -> Callable:
+                 feature_bank=None, unroll: bool = True,
+                 criterion: str = "CrossEntropyLoss") -> Callable:
     def loss_fn(params, mb, rng):
         if feature_bank is not None and "store_idx" in mb:
             f, l, m = feature_bank.lookup(mb["store_idx"])
@@ -52,7 +124,7 @@ def make_loss_fn(model_forward: Callable, cfg, distance_matrix, *,
         loss = gqa_train_loss(
             logits, mb["labels"], distance_matrix,
             semantic_lambda=semantic_lambda, top_k=top_k,
-            num_labels=cfg.num_labels)
+            num_labels=cfg.num_labels, criterion=criterion)
         score = jnp.mean((jnp.argmax(logits, -1) == mb["labels"])
                          .astype(jnp.float32))
         return loss, score
@@ -68,7 +140,8 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
                     remat: bool = False,
                     feature_bank=None,
                     unroll: bool = True,
-                    unroll_accum: bool = False) -> Callable:
+                    unroll_accum: bool = False,
+                    criterion: str = "CrossEntropyLoss") -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     ``batch`` leaves are shaped [grad_acc, micro_bs, ...]. With a
@@ -83,41 +156,65 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
     loss_fn = make_loss_fn(model_forward, cfg, distance_matrix,
                            semantic_lambda=semantic_lambda, top_k=top_k,
                            compute_dtype=compute_dtype, remat=remat,
-                           feature_bank=feature_bank, unroll=unroll)
+                           feature_bank=feature_bank, unroll=unroll,
+                           criterion=criterion)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(state: TrainState, batch, rng):
         acc = jax.tree.leaves(batch)[0].shape[0]
         rngs = jax.random.split(rng, acc) if use_dropout else None
 
+        # Differentiate w.r.t. PER-LAYER encoder leaves on the unrolled
+        # path: grads of stacked [L, ...] weights cost one full-buffer
+        # dynamic-update-slice copy per layer per microbatch (~22 ms/step
+        # at UC2 scale, measured); per-layer leaves make each dW an
+        # independent output. A state already in the per-layer layout
+        # (perlayer_state) runs conversion-free end to end; a stacked state
+        # is unstacked here and its grads restacked before the optimizer so
+        # the external layout is unchanged.
+        from ..models import layers as _L
+        nL = getattr(cfg, "num_layers", 0)
+        perlayer_in = _has_perlayer(state.params)
+        unstack_here = unroll and not perlayer_in
+        params_w = (_L.unstack_layer_params(state.params, nL)
+                    if unstack_here else state.params)
+        # grad_mask in the layout the grads will have at application time
+        # (post-restack for a stacked state, i.e. as given)
+        mask_w = grad_mask
+        if grad_mask is not None and perlayer_in \
+                and not _has_perlayer(grad_mask):
+            mask_w = _unstack_mask_tree(grad_mask, nL)
+
         def micro(carry, xs):
             g_acc, l_acc, s_acc = carry
             mb, r = xs
-            (loss, score), grads = grad_fn(state.params, mb,
+            (loss, score), grads = grad_fn(params_w, mb,
                                            r if use_dropout else None)
             g_acc = jax.tree.map(lambda a, g: a + g / acc, g_acc, grads)
             return (g_acc, l_acc + loss / acc, s_acc + score / acc), None
 
-        zero = jax.tree.map(jnp.zeros_like, state.params)
+        zero = jax.tree.map(jnp.zeros_like, params_w)
         xs = (batch, rngs) if use_dropout else (batch, jnp.zeros((acc,)))
         (grads, loss, score), _ = jax.lax.scan(
             micro, (zero, jnp.zeros(()), jnp.zeros(())), xs,
             unroll=acc if unroll_accum else 1)
+        if unstack_here:
+            grads = _L.restack_layer_tree(grads)
 
-        if grad_mask is not None:
+        if mask_w is not None:
             grads = jax.tree.map(
-                lambda g, m: g * m if m is not None else g, grads, grad_mask,
+                lambda g, m: g * m if m is not None else g, grads, mask_w,
                 is_leaf=lambda x: x is None)
 
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
-        if grad_mask is not None:
+        if mask_w is not None:
             # masked entries must not move at all: the decoupled weight decay
             # would otherwise still shrink them (torch freeze /
             # CustomFromMask exclude them from the optimizer entirely)
             updates = jax.tree.map(
                 lambda u, m: u * m if m is not None else u, updates,
-                grad_mask, is_leaf=lambda x: x is None)
+                mask_w, is_leaf=lambda x: x is None)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "score": score,
                    "grad_norm": optax.global_norm(grads)}

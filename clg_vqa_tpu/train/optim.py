@@ -116,6 +116,10 @@ def no_decay_mask(params: Any) -> Any:
     def walk(tree, path):
         if isinstance(tree, dict):
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        if isinstance(tree, (tuple, list)):
+            # per-layer leaves (layers.unstack_layer_params): same decision
+            # for every layer of the stack
+            return tuple(walk(v, path) for v in tree)
         name = path[-1] if path else ""
         in_ln = any(("ln" == p or p.endswith("_ln") or p.startswith("ln"))
                     for p in path)
@@ -153,6 +157,8 @@ def freeze_mask(params: Any, fixed_layers: list[str]) -> Any:
     def walk(tree, path=()):
         if isinstance(tree, dict):
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        if isinstance(tree, (tuple, list)):
+            return tuple(walk(v, path) for v in tree)
         name = "/".join(path)
         frozen = any(f in name for f in fixed_layers)
         return jnp.zeros_like(tree) if frozen else None

@@ -312,3 +312,75 @@ def test_radam_matches_reference_rule():
             p = base - lr / (1 - b1 ** t) * m
         np.testing.assert_allclose(np.asarray(params["w"]), p,
                                    rtol=2e-5, atol=1e-7)
+
+
+def test_unrolled_unstacked_matches_rolled_scan(tiny):
+    """The training path differentiates per-layer encoder leaves (python
+    loop over layers.unstack_layer_params) and restacks grads; it must be
+    numerically identical to the rolled lax.scan over stacked weights."""
+    cfg, params, D, make_batch = tiny
+    batch = make_batch(4, 2, 4)
+    opt = make_optimizer(params, 1e-3, weight_decay=1e-4, clip_norm=1.0)
+    state = tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    rng = jax.random.key(7)
+    outs = []
+    for unroll in (False, True):
+        step = tl.make_train_step(uc2.forward, cfg, opt, D,
+                                  semantic_lambda=10.0, top_k=4,
+                                  compute_dtype=None, use_dropout=False,
+                                  unroll=unroll)
+        s, m = jax.jit(step)(state, batch, rng)
+        outs.append((s, m))
+    (sa, ma), (sb, mb) = outs
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(ma["grad_norm"]),
+                               float(mb["grad_norm"]), rtol=1e-5)
+    assert jax.tree.structure(sa.params) == jax.tree.structure(sb.params)
+    for pa, pb in zip(jax.tree.leaves(sa.params),
+                      jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_perlayer_state_matches_stacked(tiny):
+    """A perlayer_state (per-layer params + mu/nu, the single-chip training
+    layout) must produce the same training trajectory as the stacked state,
+    and stacked_state() must round-trip back to the stacked layout."""
+    cfg, params, D, make_batch = tiny
+    batch = make_batch(2, 2, 4)
+    rng = jax.random.key(3)
+
+    opt_s = make_optimizer(params, 1e-3, weight_decay=1e-4, clip_norm=1.0)
+    state_s = tl.TrainState(params, opt_s.init(params),
+                            jnp.zeros((), jnp.int32))
+    step_s = jax.jit(tl.make_train_step(
+        uc2.forward, cfg, opt_s, D, semantic_lambda=10.0, top_k=4,
+        compute_dtype=None, use_dropout=False))
+
+    from clg_vqa_tpu.models.layers import unstack_layer_params
+    opt_p = make_optimizer(unstack_layer_params(params, cfg.num_layers),
+                           1e-3, weight_decay=1e-4, clip_norm=1.0)
+    state_p = tl.perlayer_state(
+        tl.TrainState(params, opt_p.init(params), jnp.zeros((), jnp.int32)),
+        cfg.num_layers)
+    step_p = jax.jit(tl.make_train_step(
+        uc2.forward, cfg, opt_p, D, semantic_lambda=10.0, top_k=4,
+        compute_dtype=None, use_dropout=False))
+
+    for i in range(2):
+        state_s, ms = step_s(state_s, batch, rng)
+        state_p, mp_ = step_p(state_p, batch, rng)
+        np.testing.assert_allclose(float(ms["loss"]), float(mp_["loss"]),
+                                   rtol=1e-6)
+    back = tl.stacked_state(state_p)
+    assert jax.tree.structure(back.params) == \
+        jax.tree.structure(state_s.params)
+    for pa, pb in zip(jax.tree.leaves(state_s.params),
+                      jax.tree.leaves(back.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-7)
+    for va, vb in zip(jax.tree.leaves(state_s.opt_state),
+                      jax.tree.leaves(back.opt_state)):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=1e-5, atol=1e-7)

@@ -18,32 +18,35 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def top_ops_from_xspace(logdir: str, k: int = 30):
-    """Parse the .xplane.pb trace and aggregate device op self-times."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
-    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+def top_ops_from_trace(logdir: str, k: int = 30):
+    """Aggregate device 'XLA Ops' self-times from the Chrome trace JSON the
+    profiler writes alongside the xplane (no extra proto deps needed)."""
+    import gzip
+    import json
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
         return None
-    xspace = xplane_pb2.XSpace()
-    with open(sorted(paths)[-1], "rb") as f:
-        xspace.ParseFromString(f.read())
+    d = json.load(gzip.open(sorted(paths, key=os.path.getmtime)[-1]))
+    evs = d["traceEvents"]
+    dev_pids = set()
+    op_tids = set()
+    for e in evs:
+        if e.get("ph") == "M" and e.get("name") == "process_name" \
+                and "TPU" in e["args"]["name"]:
+            dev_pids.add(e["pid"])
+    for e in evs:
+        if e.get("ph") == "M" and e.get("name") == "thread_name" \
+                and e["pid"] in dev_pids and e["args"]["name"] == "XLA Ops":
+            op_tids.add((e["pid"], e["tid"]))
     rows = {}
-    for plane in xspace.planes:
-        if "TPU" not in plane.name and "/device" not in plane.name.lower():
-            continue
-        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
-        for line in plane.lines:
-            if "XLA Ops" not in line.name and "Steps" not in line.name:
-                pass
-            for ev in line.events:
-                name = ev_meta.get(ev.metadata_id, "?")
-                if "XLA Ops" in line.name:
-                    rows[name] = rows.get(name, 0) + ev.duration_ps
+    for e in evs:
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids:
+            rows[e["name"]] = rows.get(e["name"], 0.0) + e.get("dur", 0.0)
     total = sum(rows.values())
     out = sorted(rows.items(), key=lambda kv: -kv[1])[:k]
-    return [(n, ps / 1e9, 100.0 * ps / max(total, 1)) for n, ps in out], \
-        total / 1e9
+    return [(n, us / 1e3, 100.0 * us / max(total, 1e-9)) for n, us in out], \
+        total / 1e3
 
 
 def main():
@@ -79,11 +82,15 @@ def main():
         unroll_accum = (args.unroll_accum if args.unroll_accum is not None
                         else True)
 
+    from clg_vqa_tpu.models.layers import unstack_layer_params
     params = mod.init_params(jax.random.key(0), cfg)
     D = jnp.asarray(r.rand(cfg.num_labels, cfg.num_labels)
                     .astype(np.float32))
-    opt = make_optimizer(params, warmup_linear_schedule(4e-5, 100, 10000))
-    state = tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    opt = make_optimizer(unstack_layer_params(params, cfg.num_layers),
+                         warmup_linear_schedule(4e-5, 100, 10000))
+    state = tl.perlayer_state(
+        tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32)),
+        cfg.num_layers)
     step = jax.jit(tl.make_train_step(
         mod.forward, cfg, opt, D, semantic_lambda=10.0, top_k=10,
         compute_dtype=jnp.bfloat16, unroll_accum=unroll_accum),
@@ -123,7 +130,7 @@ def main():
     jax.profiler.stop_trace()
 
     try:
-        res = top_ops_from_xspace(args.out)
+        res = top_ops_from_trace(args.out)
     except Exception as e:
         print(f"xplane parse failed ({e}); trace left at {args.out}",
               file=sys.stderr)
