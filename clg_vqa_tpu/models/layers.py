@@ -39,13 +39,20 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def linear(x: jnp.ndarray, p: Params, compute_dtype=None) -> jnp.ndarray:
-    """x @ w + b with optional low-precision matmul (fp32 accumulation)."""
+    """x @ w + b with optional low-precision matmul.
+
+    With a compute_dtype the MXU still accumulates in fp32
+    (preferred_element_type) and the f32 bias add fuses into the matmul
+    epilogue, but the RESULT is cast back to compute_dtype: keeping the
+    residual stream at bf16 halves the activation HBM traffic between
+    matmuls (measured ~35 ms/step of convert/copy at UC2 bs256 when the
+    stream was f32)."""
     w, b = p["w"], p["b"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    return y + b
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+    return y if compute_dtype is None else y.astype(compute_dtype)
 
 
 def dropout(x: jnp.ndarray, rate: float, rng, deterministic: bool) -> jnp.ndarray:
