@@ -384,3 +384,43 @@ def test_perlayer_state_matches_stacked(tiny):
                       jax.tree.leaves(back.opt_state)):
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_multichip_sharded_step_matches_single_m3p():
+    """Same dp4 x mp2 sharded==single check for the M3P model family: the
+    path-based Megatron pspecs (parallel/mesh._pspec_for) must cover M3P's
+    param tree (same encoder/attn, ffn/w1-w2, embeddings/word,
+    classifier/fc2 naming) too."""
+    from clg_vqa_tpu.config import M3PConfig
+    from clg_vqa_tpu.models import m3p
+    from clg_vqa_tpu.parallel import mesh as pm
+    cfg = M3PConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+                    intermediate_size=64, v_feature_size=16, num_locs=5,
+                    pooler_size=32, clf_hidden_size=64, num_labels=8,
+                    max_boxes=4)
+    params = m3p.init_params(jax.random.key(1), cfg)
+    D = jnp.asarray(np.random.RandomState(1).rand(8, 8).astype(np.float32))
+    r = np.random.RandomState(2)
+    acc, mbs, T, R = 2, 8, 6, 4
+    batch = {
+        "input_ids": jnp.asarray(r.randint(3, 64, (acc, mbs, T)), jnp.int32),
+        "input_mask": jnp.ones((acc, mbs, T), jnp.int32),
+        "features": jnp.asarray(r.randn(acc, mbs, R, 16), jnp.float32),
+        "locs": jnp.asarray(r.rand(acc, mbs, R, 5), jnp.float32),
+        "image_mask": jnp.ones((acc, mbs, R), jnp.int32),
+        "labels": jnp.asarray(r.randint(0, 8, (acc, mbs)), jnp.int32),
+    }
+    opt = make_optimizer(params, 1e-3, weight_decay=1e-4, clip_norm=1.0)
+    state = tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = tl.make_train_step(m3p.forward, cfg, opt, D, semantic_lambda=10.0,
+                              top_k=4, compute_dtype=None, use_dropout=False)
+    mesh = pm.make_mesh(n_dp=4, n_mp=2)
+    sharded = tl.shard_train_step(step, mesh, state, batch, donate=False)
+    rng = jax.random.key(0)
+    s1, m1 = jax.jit(step)(state, batch, rng)
+    s2, m2 = sharded(state, batch, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for pa, pb in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-4, atol=1e-5)
