@@ -33,6 +33,37 @@ def make_predict_step(forward: Callable, cfg, *, device_bank=None,
     return step
 
 
+def shard_predict_step(forward: Callable, cfg, mesh, params_example,
+                       batch_example, *, device_bank=None,
+                       compute_dtype=jnp.bfloat16) -> Callable:
+    """Multi-chip make_predict_step: batch sharded over the mesh's dp axis,
+    params laid out with the Megatron mp pspecs (parallel/mesh.py), so the
+    same jitted step serves/evaluates across a pod slice. The reference's
+    eval uses apex DDP replication (eval_task.py:164-173); here GSPMD
+    shards one program instead. Predictions come back dp-sharded and are
+    gathered on fetch.
+
+    batch_example: a pytree with the final per-call batch structure (used
+    only for sharding layout; ``store_idx`` batches work with device_bank
+    the same as the single-chip step)."""
+    from ..parallel import mesh as pm
+
+    def step(params, batch):
+        if device_bank is not None:
+            f, l, m = device_bank.lookup(batch.pop("store_idx"))
+            batch = {**batch, "features": f, "locs": l, "image_mask": m}
+        logits = forward(params, cfg, batch, deterministic=True,
+                         compute_dtype=compute_dtype)
+        return jnp.argmax(logits, axis=-1)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.jit(
+        step,
+        in_shardings=(pm.param_shardings(mesh, params_example),
+                      pm.batch_shardings(mesh, batch_example)),
+        out_shardings=NamedSharding(mesh, P("dp")))
+
+
 def run_eval(forward: Callable, params, cfg, dataset, label2ans: list, *,
              batch_size: int = 256, compute_dtype=jnp.bfloat16,
              out_path: str | None = None, split: str = "test",

@@ -196,3 +196,21 @@ def test_predictor_serving_api(eval_world):
     by_qid = {p_["questionId"]: p_["prediction"] for p_ in full["results"]}
     for e, r_ in zip(entries[:6], rs):
         assert by_qid[str(e.question_id)] == r_["answer"]
+
+
+def test_shard_predict_step_matches_single(eval_world):
+    """dp4 x mp2 sharded predict step == single-chip make_predict_step on
+    identical batches (GSPMD replaces the reference's apex-DDP eval
+    replication, eval_task.py:164-173)."""
+    from clg_vqa_tpu.parallel import mesh as pm
+    tmp, cfg, params, ds, entries, label2ans = eval_world
+    batch = ds.make_batch(list(range(16)), with_features=True)
+    batch.pop("question_id", None)
+    batch.pop("valid", None)
+    mesh = pm.make_mesh(n_dp=4, n_mp=2)
+    single = runner.make_predict_step(uc2.forward, cfg, compute_dtype=None)
+    sharded = runner.shard_predict_step(uc2.forward, cfg, mesh, params,
+                                        batch, compute_dtype=None)
+    p1 = np.asarray(single(params, batch))
+    p2 = np.asarray(sharded(params, batch))
+    np.testing.assert_array_equal(p1, p2)
