@@ -56,6 +56,7 @@ class FinetuneRunner:
         os.makedirs(output_dir, exist_ok=True)
         self.logger = MetricsLogger(output_dir, task_cfg.name)
         self._val_bank = None
+        self._val_cache = None
         if val_dataset is not None:
             try:
                 from ..cli.common import maybe_device_bank
@@ -111,13 +112,33 @@ class FinetuneRunner:
             criterion=self.task_cfg.loss),
             donate_argnums=(0,))
 
+    def _val_batches(self):
+        """Device-resident validation batches, assembled ONCE and reused
+        every eval pass: the val split is static, so tokenization/batch
+        assembly (the host-bound part of eval) is paid on the first epoch
+        only. With the device bank a cached batch is just token arrays +
+        store_idx + labels (a few MB)."""
+        if self._val_cache is not None:
+            return self._val_cache
+        bank = self._val_bank
+        cache = []
+        for b in self.val_ds.iter_batches(self.eval_bs,
+                                          with_features=bank is None):
+            b.pop("question_id", None)
+            b.pop("has_label", None)
+            if bank is not None:
+                b = bank.fill_batch(b)
+            cache.append(jax.device_put(
+                {k: jnp.asarray(v) for k, v in b.items()}))
+        self._val_cache = cache
+        return cache
+
     def evaluate(self, params, epoch: int) -> float:
         if self.val_ds is None:
             return 0.0
-        bank = self._val_bank
-        # Keep 2 eval batches in flight (async dispatch) so host batch
-        # assembly overlaps device compute; only the metric fetch of the
-        # oldest batch blocks. The reference eval loop is synchronous.
+        # Keep 2 eval batches in flight (async dispatch); only the metric
+        # fetch of the oldest batch blocks. The reference eval loop is
+        # synchronous.
         from collections import deque
         inflight: deque = deque()
 
@@ -125,14 +146,8 @@ class FinetuneRunner:
             self.logger.step_val(float(m["loss"]), float(m["correct"]),
                                  float(m["count"]))
 
-        for b in self.val_ds.iter_batches(self.eval_bs,
-                                          with_features=bank is None):
-            b.pop("question_id", None)
-            b.pop("has_label", None)
-            if bank is not None:
-                b = bank.fill_batch(b)
-            inflight.append(self.eval_step(params, jax.device_put(
-                {k: jnp.asarray(v) for k, v in b.items()})))
+        for b in self._val_batches():
+            inflight.append(self.eval_step(params, b))
             if len(inflight) > 2:
                 consume(inflight.popleft())
         while inflight:
