@@ -214,3 +214,27 @@ def test_shard_predict_step_matches_single(eval_world):
     p1 = np.asarray(single(params, batch))
     p2 = np.asarray(sharded(params, batch))
     np.testing.assert_array_equal(p1, p2)
+
+
+RESULTS = "/root/reference/results/xgqa/zero_shot"
+
+
+@pytest.mark.skipif(not os.path.isdir(RESULTS),
+                    reason="reference results unavailable")
+def test_scorer_on_reference_stored_predictions():
+    """Score the reference's SHIPPED final-model predictions
+    (results/xgqa/zero_shot/*-with-prior+sft+cdm, 9666 QA per language)
+    with our scorer against the shipped 1944-question truth subset
+    (datasets/gqa/annotations/testdev_balanced_questions.json). Pins the
+    GQA_score.py semantics (exact match, missing-qid skip) on real data:
+    these values are deterministic properties of the reference artifacts."""
+    truth = json.load(open(os.path.join(
+        REF_DATA, "gqa", "annotations", "testdev_balanced_questions.json")))
+    expect = {("uc2", "en"): 57.14, ("uc2", "zh"): 50.00,
+              ("m3p", "en"): 57.41, ("m3p", "de"): 46.53}
+    for (model, lang), want in expect.items():
+        preds = json.load(open(os.path.join(
+            RESULTS, f"{model}-with-prior+sft+cdm",
+            f"test_{lang}_result.json")))
+        got = 100 * scorer.evaluate(preds, truth)
+        assert abs(got - want) < 0.01, (model, lang, got)
