@@ -112,6 +112,11 @@ def multi_head_attention(
     scale = 1.0 / math.sqrt(hd)
     if scale_query:
         q = q * scale
+    # NOTE: rematting this score/softmax core (recompute probs in the bwd
+    # instead of saving them, the flash-attention memory argument) was tried
+    # and measured SLOWER at these shapes: 1782 vs 1958 QA/s — at S=76 the
+    # saved [B,H,76,76] probs are cheap to re-read while the recompute adds
+    # serial VPU work. See docs/PERFORMANCE.md.
     # [B, H, Sq, Skv]
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
