@@ -154,10 +154,13 @@ def cmd_extract(args):
             if args.limit and n >= args.limit:
                 return
 
+    kw = {}
+    if args.detector == "x101" and getattr(args, "device_batch", 1) > 1:
+        kw["device_batch"] = args.device_batch
     n = 0
     with CfsWriter(args.out) as w:
         # pipelined: host decode/preprocess overlaps device inference
-        for rec in ex.extract_many(gen()):
+        for rec in ex.extract_many(gen(), **kw):
             w.add(rec)
             n += 1
     print(f"extracted {n} images -> {args.out}")
@@ -245,6 +248,9 @@ def main(argv=None):
     sp.add_argument("--weights", default="",
                     help="orbax params dir (from the caffe-pkl converter)")
     sp.add_argument("--limit", type=int, default=0)
+    sp.add_argument("--device_batch", type=int, default=1,
+                    help="images per device program (x101: vmapped "
+                         "pipeline, better conv utilization)")
     sp.set_defaults(fn=cmd_extract)
 
     sp = sub.add_parser("convert-store")

@@ -299,3 +299,28 @@ def test_extractor_deterministic():
     r2 = ex.extract(img, "a")
     np.testing.assert_array_equal(r1.features, r2.features)
     np.testing.assert_array_equal(r1.boxes, r2.boxes)
+
+
+def test_x101_extract_many_device_batch_matches():
+    """device_batch=2 (vmapped pipeline) must produce the same records as
+    the per-image path, including the padded final partial group (3 images
+    through batch 2)."""
+    from clg_vqa_tpu.models.detector.extractor_x101 import (ExtractorX101,
+                                                            X101Config,
+                                                            init_x101_params)
+    cfg = X101Config(num_boxes=10, pre_nms_topk=64, post_nms_topk_level=32,
+                     post_nms_topk=64, pad_h=128, pad_w=128, short=96,
+                     max_size=128, bf16=False)
+    params = init_x101_params(jax.random.key(0))
+    ex = ExtractorX101(params, cfg)
+    r = np.random.RandomState(7)
+    items = [((r.rand(90, 110, 3) * 255).astype(np.uint8), f"i{k}")
+             for k in range(3)]
+    singles = list(ex.extract_many(iter(items), device_batch=1))
+    batched = list(ex.extract_many(iter(items), device_batch=2))
+    assert [b.image_id for b in batched] == [s.image_id for s in singles]
+    for s, b in zip(singles, batched):
+        np.testing.assert_allclose(b.features, s.features,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(b.boxes, s.boxes, rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(b.obj_id, s.obj_id)
