@@ -155,7 +155,7 @@ def cmd_extract(args):
                 return
 
     kw = {}
-    if args.detector == "x101" and getattr(args, "device_batch", 1) > 1:
+    if getattr(args, "device_batch", 1) > 1:
         kw["device_batch"] = args.device_batch
     n = 0
     with CfsWriter(args.out) as w:
@@ -249,8 +249,8 @@ def main(argv=None):
                     help="orbax params dir (from the caffe-pkl converter)")
     sp.add_argument("--limit", type=int, default=0)
     sp.add_argument("--device_batch", type=int, default=1,
-                    help="images per device program (x101: vmapped "
-                         "pipeline, better conv utilization)")
+                    help="images per device program (vmapped pipeline, "
+                         "better conv utilization; 2 is the sweet spot)")
     sp.set_defaults(fn=cmd_extract)
 
     sp = sub.add_parser("convert-store")

@@ -76,6 +76,10 @@ class Extractor36:
             fh, fw, stride=c.stride))
         self._fh, self._fw = fh, fw
         self._jitted = jax.jit(self._pipeline)
+        # device-batched variant (see extract_many): pure per-image pipeline
+        # under vmap — backbone/res5 convs become real batched convs
+        self._jitted_batch = jax.jit(jax.vmap(self._pipeline,
+                                              in_axes=(None, 0, 0)))
 
     def _pipeline(self, params, image, valid_hw):
         """image [pad_h, pad_w, 3] BGR mean-subtracted; valid_hw = (h, w) of
@@ -182,23 +186,59 @@ class Extractor36:
                            jnp.asarray((nh, nw), jnp.int32))
         return self._finish(image_id, out, nh, nw, rh, rw)
 
-    def extract_many(self, items, *, depth: int = 2):
+    def extract_many(self, items, *, depth: int = 2, device_batch: int = 1):
         """Pipelined bulk extraction over (raw_bgr, image_id) pairs: keeps
-        ``depth`` images in flight (async dispatch; only the final
+        ``depth`` device calls in flight (async dispatch; only the final
         device_get blocks), overlapping host preprocessing with the device
         pipeline. The reference runs bs=1 synchronously
-        (detectron2_proposal_maxnms.py:196)."""
+        (detectron2_proposal_maxnms.py:196).
+
+        device_batch>1 runs that many images per device program (vmapped
+        pipeline — batched backbone convs); the final partial group pads
+        with a repeat of its last image and drops the padding on output."""
         from collections import deque
         q: deque = deque()
+        if device_batch <= 1:
+            for raw_bgr, image_id in items:
+                img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
+                out = self._jitted(self.params, img,
+                                   jnp.asarray((nh, nw), jnp.int32))
+                q.append((image_id, out, nh, nw, rh, rw))
+                if len(q) > depth:
+                    yield self._finish(*q.popleft())
+            while q:
+                yield self._finish(*q.popleft())
+            return
+
+        def flush(group):
+            n_real = len(group)
+            while len(group) < device_batch:
+                group.append(group[-1])
+            imgs = jnp.stack([g[1] for g in group])
+            hw = jnp.asarray([g[2] for g in group], jnp.int32)
+            out = self._jitted_batch(self.params, imgs, hw)
+            return n_real, group, out
+
+        group = []
         for raw_bgr, image_id in items:
             img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
-            out = self._jitted(self.params, img,
-                               jnp.asarray((nh, nw), jnp.int32))
-            q.append((image_id, out, nh, nw, rh, rw))
-            if len(q) > depth:
-                yield self._finish(*q.popleft())
+            group.append((image_id, img, (nh, nw), (rh, rw)))
+            if len(group) == device_batch:
+                q.append(flush(group))
+                group = []
+                if len(q) > depth:
+                    yield from self._finish_group(*q.popleft())
+        if group:
+            q.append(flush(group))
         while q:
-            yield self._finish(*q.popleft())
+            yield from self._finish_group(*q.popleft())
+
+    def _finish_group(self, n_real, group, out):
+        out = jax.device_get(out)
+        for j in range(n_real):
+            image_id, _, (nh, nw), (rh, rw) = group[j]
+            one = {k: v[j] for k, v in out.items()}
+            yield self._finish(image_id, one, nh, nw, rh, rw)
 
 
 class GivenBoxExtractor:

@@ -324,3 +324,25 @@ def test_x101_extract_many_device_batch_matches():
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(b.boxes, s.boxes, rtol=1e-5, atol=1e-4)
         np.testing.assert_array_equal(b.obj_id, s.obj_id)
+
+
+def test_c4_extract_many_device_batch_matches():
+    """Extractor36 device_batch=2 (vmapped pipeline) == per-image path,
+    incl. the padded final partial group (3 images through batch 2)."""
+    cfg = extractor.ExtractorConfig(num_boxes=6, pre_nms_topk=200,
+                                    post_nms_topk=50, pad_h=128, pad_w=160,
+                                    short=96, max_size=160)
+    params = extractor.init_extractor_params(jax.random.key(0))
+    ex = extractor.Extractor36(params, cfg)
+    r = np.random.RandomState(11)
+    items = [((r.rand(100, 140, 3) * 255).astype(np.uint8), f"c{k}")
+             for k in range(3)]
+    singles = list(ex.extract_many(iter(items), device_batch=1))
+    batched = list(ex.extract_many(iter(items), device_batch=2))
+    assert [b.image_id for b in batched] == [s.image_id for s in singles]
+    for s, b in zip(singles, batched):
+        np.testing.assert_allclose(b.features, s.features,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(b.boxes, s.boxes, rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(b.obj_id, s.obj_id)
+        np.testing.assert_array_equal(b.attr_id, s.attr_id)
