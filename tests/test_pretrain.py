@@ -133,3 +133,51 @@ def test_lm_decoder_tied_to_embeddings():
     params2["embeddings"]["word"] = params["embeddings"]["word"] * 2.0
     t2, _, _ = pretrain_forward(params2, heads, cfg, batch)
     assert not np.allclose(np.asarray(t1), np.asarray(t2))  # tie is live
+
+
+def test_pretrain_loss_trains():
+    """The pretraining objective is end-to-end differentiable: a few AdamW
+    steps on (encoder params + heads) jointly must reduce the total loss
+    (BertForVLPreTraining's training contract, encoders.py:1045-1152)."""
+    import optax
+    cfg = UC2Config(vocab_size=100, hidden_size=32, num_layers=2, num_heads=2,
+                    intermediate_size=64, v_feature_size=16, num_locs=7,
+                    pooler_size=32, clf_hidden_size=32, num_labels=8)
+    params = uc2.init_params(jax.random.key(0), cfg)
+    heads = init_pretrain_heads(jax.random.key(1), cfg,
+                                visual_target_weights={"0": 1.0})
+    r = np.random.RandomState(1)
+    B, T, R = 4, 6, 4
+    cls_ = r.rand(B, R, 1601).astype(np.float32)
+    cls_ /= cls_.sum(-1, keepdims=True)
+    batch = {
+        "input_ids": jnp.asarray(r.randint(3, 100, (B, T)), jnp.int32),
+        "input_mask": jnp.ones((B, T), jnp.int32),
+        "features": jnp.asarray(r.randn(B, R, 16), jnp.float32),
+        "locs": jnp.asarray(r.rand(B, R, 7), jnp.float32),
+        "image_mask": jnp.ones((B, R), jnp.int32),
+        "lm_labels": jnp.asarray(
+            np.where(r.rand(B, T) < 0.3, r.randint(0, 100, (B, T)), -1),
+            jnp.int32),
+        "is_match": jnp.asarray(r.randint(0, 2, (B,)), jnp.int32),
+        "image_label": jnp.asarray((r.rand(B, R) < 0.3).astype(np.int64)),
+        "image_cls": jnp.asarray(cls_),
+    }
+    both = {"enc": params, "heads": heads}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(both)
+
+    @jax.jit
+    def step(both, opt_state):
+        def loss_fn(b):
+            return pretrain_loss(b["enc"], b["heads"], cfg, batch,
+                                 visual_target_weights={"0": 1.0})["total"]
+        loss, grads = jax.value_and_grad(loss_fn)(both)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(both, updates), opt_state, loss
+
+    first = None
+    for _ in range(8):
+        both, opt_state, loss = step(both, opt_state)
+        first = first if first is not None else float(loss)
+    assert float(loss) < first * 0.9, (first, float(loss))
