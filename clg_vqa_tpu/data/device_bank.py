@@ -34,9 +34,23 @@ class DeviceFeatureBank:
                        + self.image_mask.nbytes)
 
     def lookup(self, store_idx: jnp.ndarray):
-        """Device-side gather; call inside jit. store_idx [B] int32."""
-        return (self.features[store_idx], self.locs[store_idx],
-                self.image_mask[store_idx])
+        """Device-side gather; call inside jit. store_idx [B] int32.
+
+        NOTE: calling this inside a jitted function closes over the bank
+        arrays, which embeds them in the program as constants — with a
+        remote compiler (axon) the whole bank then rides the compile
+        request (HTTP 413 at X101 scale). Jitted code should instead take
+        :meth:`tensors` as an ARGUMENT and use :func:`gather_from`."""
+        return self.gather_from(self.tensors(), store_idx)
+
+    def tensors(self):
+        """(features, locs, image_mask) — pass as jit arguments."""
+        return (self.features, self.locs, self.image_mask)
+
+    @staticmethod
+    def gather_from(tensors, store_idx: jnp.ndarray):
+        f, l, m = tensors
+        return f[store_idx], l[store_idx], m[store_idx]
 
     def fill_batch(self, batch: dict) -> dict:
         """Replace a 'store_idx' host batch field with device-gathered

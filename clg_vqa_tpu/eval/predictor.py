@@ -33,8 +33,11 @@ class Predictor:
             add_global_imgfeat=getattr(cfg, "add_global_imgfeat", None))
 
         @jax.jit
-        def step(params, ids, mask, store_idx):
-            f, l, m = self.bank.lookup(store_idx)
+        def step(params, ids, mask, store_idx, bank):
+            # bank tensors are ARGUMENTS, not closure constants — a closure
+            # would embed the whole bank in the compile payload (see
+            # DeviceFeatureBank.lookup)
+            f, l, m = DeviceFeatureBank.gather_from(bank, store_idx)
             logits = forward(params, cfg, {
                 "input_ids": ids, "input_mask": mask,
                 "features": f, "locs": l, "image_mask": m,
@@ -42,7 +45,9 @@ class Predictor:
             return jnp.argmax(logits, axis=-1), jax.nn.softmax(
                 logits.astype(jnp.float32), -1).max(-1)
 
-        self._step = step
+        bank_t = self.bank.tensors()
+        self._step = lambda params, ids, mask, sidx: step(
+            params, ids, mask, sidx, bank_t)
 
     def predict(self, question: str, image_id: str) -> dict:
         return self.predict_batch([(question, image_id)])[0]

@@ -19,18 +19,25 @@ import numpy as np
 def make_predict_step(forward: Callable, cfg, *, device_bank=None,
                       compute_dtype=jnp.bfloat16) -> Callable:
     """Jitted (params, batch) -> argmax predictions. Build ONCE and reuse
-    across run_eval calls so compilation is paid a single time."""
+    across run_eval calls so compilation is paid a single time.
+
+    Bank tensors are threaded as jit ARGUMENTS (not closure constants): a
+    closed-over bank is embedded in the program and shipped with every
+    remote-compile request — HTTP 413 at X101 bank sizes (328 MB)."""
 
     @jax.jit
-    def step(params, batch):
-        if device_bank is not None:
-            f, l, m = device_bank.lookup(batch.pop("store_idx"))
+    def step(params, batch, bank):
+        if bank is not None:
+            from ..data.device_bank import DeviceFeatureBank
+            f, l, m = DeviceFeatureBank.gather_from(
+                bank, batch.pop("store_idx"))
             batch = {**batch, "features": f, "locs": l, "image_mask": m}
         logits = forward(params, cfg, batch, deterministic=True,
                          compute_dtype=compute_dtype)
         return jnp.argmax(logits, axis=-1)
 
-    return step
+    bank = device_bank.tensors() if device_bank is not None else None
+    return lambda params, batch: step(params, batch, bank)
 
 
 def shard_predict_step(forward: Callable, cfg, mesh, params_example,
@@ -48,20 +55,26 @@ def shard_predict_step(forward: Callable, cfg, mesh, params_example,
     the same as the single-chip step)."""
     from ..parallel import mesh as pm
 
-    def step(params, batch):
-        if device_bank is not None:
-            f, l, m = device_bank.lookup(batch.pop("store_idx"))
+    def step(params, batch, bank):
+        if bank is not None:
+            from ..data.device_bank import DeviceFeatureBank
+            f, l, m = DeviceFeatureBank.gather_from(
+                bank, batch.pop("store_idx"))
             batch = {**batch, "features": f, "locs": l, "image_mask": m}
         logits = forward(params, cfg, batch, deterministic=True,
                          compute_dtype=compute_dtype)
         return jnp.argmax(logits, axis=-1)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
-    return jax.jit(
+    bank = device_bank.tensors() if device_bank is not None else None
+    bank_sh = None if bank is None else tuple(
+        pm.replicated(mesh) for _ in bank)
+    jitted = jax.jit(
         step,
         in_shardings=(pm.param_shardings(mesh, params_example),
-                      pm.batch_shardings(mesh, batch_example)),
+                      pm.batch_shardings(mesh, batch_example), bank_sh),
         out_shardings=NamedSharding(mesh, P("dp")))
+    return lambda params, batch: jitted(params, batch, bank)
 
 
 def run_eval(forward: Callable, params, cfg, dataset, label2ans: list, *,

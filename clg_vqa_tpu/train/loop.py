@@ -112,6 +112,11 @@ def make_loss_fn(model_forward: Callable, cfg, distance_matrix, *,
                  feature_bank=None, unroll: bool = True,
                  criterion: str = "CrossEntropyLoss") -> Callable:
     def loss_fn(params, mb, rng):
+        # NOTE: lookup inside the jitted step closes over the bank arrays
+        # (program constants). Fine for the few-shot training banks this
+        # path serves (tens of MB); large eval banks thread tensors as jit
+        # args instead (eval/runner.py) to keep them out of the remote
+        # compile payload.
         if feature_bank is not None and "store_idx" in mb:
             f, l, m = feature_bank.lookup(mb["store_idx"])
             mb = {**{k: v for k, v in mb.items() if k != "store_idx"},

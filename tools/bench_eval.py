@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--n-images", type=int, default=400)
     ap.add_argument("--n-qa", type=int, default=8192)
     ap.add_argument("--no-bank", action="store_true")
+    ap.add_argument("--m3p", action="store_true",
+                    help="M3P at the X101 recipe (100 regions, num_locs 5)")
     args = ap.parse_args()
 
     import jax
@@ -37,9 +39,13 @@ def main():
     from clg_vqa_tpu.data.gqa import Entry, GQADataset
     from clg_vqa_tpu.data.tokenizer import HashTokenizer
     from clg_vqa_tpu.eval.runner import make_predict_step, run_eval
-    from clg_vqa_tpu.models import uc2
+    from clg_vqa_tpu.models import m3p, uc2
 
-    cfg = UC2Config()
+    if args.m3p:
+        from clg_vqa_tpu.config import M3PConfig
+        cfg, mod, R, nl = M3PConfig(), m3p, 100, 5
+    else:
+        cfg, mod, R, nl = UC2Config(), uc2, 36, 7
     r = np.random.RandomState(0)
     tmp = tempfile.mkdtemp()
     path = os.path.join(tmp, "feats.cfs")
@@ -47,8 +53,8 @@ def main():
     for i in range(args.n_images):
         w.add(RegionRecord(
             image_id=str(i),
-            features=r.randn(36, 2048).astype(np.float32),
-            boxes=(r.rand(36, 4) * 300 + np.array([0, 0, 50, 50])).astype(
+            features=r.randn(R, 2048).astype(np.float32),
+            boxes=(r.rand(R, 4) * 300 + np.array([0, 0, 50, 50])).astype(
                 np.float32),
             img_w=640.0, img_h=480.0))
     w.close()
@@ -60,21 +66,24 @@ def main():
                      labels=[int(r.randint(cfg.num_labels))], scores=[1.0])
                for i in range(args.n_qa)]
     ds = GQADataset(entries, reader, HashTokenizer(cfg.vocab_size),
-                    max_seq_length=40, max_region_num=36, num_locs=7)
+                    max_seq_length=40, max_region_num=R, num_locs=nl,
+                    norm_embeddings=getattr(cfg, "norm_embeddings", False))
     label2ans = [f"a{i}" for i in range(cfg.num_labels)]
 
-    params = uc2.init_params(jax.random.key(0), cfg)
+    params = mod.init_params(jax.random.key(0), cfg)
     bank = None
     if not args.no_bank:
-        bank = DeviceFeatureBank(reader, max_regions=36, num_locs=7)
+        bank = DeviceFeatureBank(
+            reader, max_regions=R, num_locs=nl,
+            norm_embeddings=getattr(cfg, "norm_embeddings", False))
         print(f"bank: {bank.nbytes/1e6:.0f} MB on device", file=sys.stderr)
 
-    step = make_predict_step(uc2.forward, cfg, device_bank=bank)
+    step = make_predict_step(mod.forward, cfg, device_bank=bank)
     # warmup (compile)
-    run_eval(uc2.forward, params, cfg, ds, label2ans,
+    run_eval(mod.forward, params, cfg, ds, label2ans,
              batch_size=args.bs, device_bank=bank, step=step)
     t0 = time.time()
-    res = run_eval(uc2.forward, params, cfg, ds, label2ans,
+    res = run_eval(mod.forward, params, cfg, ds, label2ans,
                    batch_size=args.bs, device_bank=bank, step=step)
     dt = time.time() - t0
     print(f"eval: {res['n']} QA in {dt:.2f}s -> {res['n']/dt:.0f} QA/s "
