@@ -1,4 +1,5 @@
-"""Full-scale UC2 eval throughput bench (the docs/PERFORMANCE.md number).
+"""Full-scale eval throughput bench (the docs/PERFORMANCE.md numbers);
+--m3p switches to M3P at the X101 recipe (100 regions, num_locs 5).
 
 Synthetic but full-scale: UC2 base config (12x768, 250k vocab, 1842 labels),
 400-image CFS store of [36, 2048] features, 8192 QA entries, bs 1024,
