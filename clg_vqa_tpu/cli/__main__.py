@@ -55,15 +55,25 @@ def _train_like(args, mode: str):
         annotations_jsonpath=args.val_annotations_jsonpath,
         entry_items=val_items)
     micro_bs = task_cfg.batch_size // optim_cfg.grad_acc_steps
+    # HBM-direct training: when the train feature store fits the HBM budget,
+    # park it on device once and stream only token ids + store_idx — zero
+    # per-step feature H2D traffic (the bank rides the jitted step as
+    # arguments; see train/loop.py)
+    train_bank = None if args.no_train_bank else \
+        C.maybe_device_bank(train_ds, cfg, task_cfg, budget_bytes=4 << 30)
+    if train_bank is not None:
+        print(f"train feature bank resident in HBM "
+              f"({train_bank.nbytes / 1e6:.0f} MB)")
     pipe = TrainPipeline(train_ds, micro_batch_size=micro_bs,
                          grad_acc_steps=optim_cfg.grad_acc_steps,
-                         seed=args.seed)
+                         seed=args.seed, with_features=train_bank is None)
     D = C.build_distance_matrix(task_cfg, task_cfg.num_labels)
     runner = FinetuneRunner(
         mod.forward, cfg, params, pipe, val_ds, D, task_cfg=task_cfg,
         optim_cfg=optim_cfg, output_dir=args.output_dir,
         model_name="m3p" if args.is_m3p else "uc2",
-        compute_dtype=None if args.fp32 else jnp.bfloat16, seed=args.seed)
+        compute_dtype=None if args.fp32 else jnp.bfloat16, seed=args.seed,
+        train_bank=train_bank)
 
     if mode == "train":
         best = runner.finetune(resume=args.resume)
@@ -73,7 +83,7 @@ def _train_like(args, mode: str):
         print(f"IMP best epoch {res['best_epoch']} "
               f"score {100*res['best_score']:.3f}; history: {res['history']}")
     elif mode == "sft":
-        best = runner.sft(args.mask_file)
+        best = runner.sft(args.mask_file, resume=args.resume)
         print(f"SFT best validation score: {100*best:.3f}")
 
 
@@ -125,19 +135,39 @@ def cmd_extract(args):
     from ..data.cfs import CfsWriter
     from ..train import checkpoints as ckpt
 
+    def load_detector_weights(path: str, kind: str):
+        """orbax dir, caffe .pkl (VG R101-C4), or torch .pth/.bin
+        (vqa-maskrcnn-benchmark X101) — released checkpoints load as-is."""
+        if os.path.isdir(path):
+            return ckpt.load_params(os.path.dirname(path) or ".",
+                                    os.path.basename(path))
+        if path.endswith(".pkl"):
+            import pickle
+            with open(path, "rb") as f:
+                raw = pickle.load(f, encoding="latin1")
+            sd = raw.get("model", raw) if isinstance(raw, dict) else raw
+            from ..utils.convert_detector import detectron2_c4_to_pytree
+            return detectron2_c4_to_pytree(sd)
+        import torch
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        sd = raw.get("model", raw) if isinstance(raw, dict) else raw
+        sd = {k: v.numpy() for k, v in sd.items()}
+        if kind == "c4":
+            from ..utils.convert_detector import detectron2_c4_to_pytree
+            return detectron2_c4_to_pytree(sd)
+        from ..utils.convert_detector import maskrcnn_x101_to_pytree
+        return maskrcnn_x101_to_pytree(sd)
+
     if args.detector == "c4":
         from ..models.detector.extractor import (Extractor36,
                                                  init_extractor_params)
-        params = (ckpt.load_params(os.path.dirname(args.weights) or ".",
-                                   os.path.basename(args.weights))
-                  if args.weights else
-                  init_extractor_params(jax.random.key(0)))
+        params = (load_detector_weights(args.weights, "c4") if args.weights
+                  else init_extractor_params(jax.random.key(0)))
         ex = Extractor36(params)
     else:
         from ..models.detector.extractor_x101 import (ExtractorX101,
                                                       init_x101_params)
-        params = (ckpt.load_params(os.path.dirname(args.weights) or ".",
-                                   os.path.basename(args.weights))
+        params = (load_detector_weights(args.weights, "x101")
                   if args.weights else init_x101_params(jax.random.key(0)))
         ex = ExtractorX101(params)
 

@@ -54,6 +54,9 @@ def add_train_args(p: argparse.ArgumentParser):
                    help="initialize the classifier output from answer word "
                         "embeddings (train_task.py:218-238)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--no_train_bank", action="store_true",
+                   help="stream features host->device per batch instead of "
+                        "parking the train store in HBM")
     p.add_argument("--loss", default="",
                    help="override the task criterion (LossMap name, "
                         "task_utils.py:179-192); empty = task YAML default")

@@ -59,8 +59,13 @@ class TrainPipeline:
                                          *np.shape(v)[1:])
                 for k, v in b.items()}
 
-    def epoch(self, epoch: int) -> Iterator[dict]:
-        """Yields device-resident [acc, mbs, ...] batches."""
+    def epoch(self, epoch: int, start_step: int = 0) -> Iterator[dict]:
+        """Yields device-resident [acc, mbs, ...] batches.
+
+        start_step skips the first ``start_step`` batches of the epoch's
+        (deterministic, seed+epoch-keyed) order — the resume cursor for
+        step-granular preemption recovery: the skipped prefix is exactly
+        the data an interrupted run already consumed."""
         order = self._epoch_order(epoch)
         span = self.mbs * self.acc
         n_steps = len(order) // span if self.drop_remainder else \
@@ -70,7 +75,7 @@ class TrainPipeline:
 
         def producer():
             try:
-                for s in range(n_steps):
+                for s in range(start_step, n_steps):
                     if stop.is_set():
                         return
                     chunk = order[s * span:(s + 1) * span]

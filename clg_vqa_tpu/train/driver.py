@@ -36,7 +36,8 @@ class FinetuneRunner:
                  output_dir: str, model_name: str = "uc2",
                  compute_dtype=jnp.bfloat16, seed: int = 0,
                  eval_batch_size: int | None = None,
-                 eval_steps: int | None = None):
+                 eval_steps: int | None = None,
+                 train_bank=None):
         self.fwd = model_forward
         self.cfg = cfg
         self.params0 = params0
@@ -53,6 +54,14 @@ class FinetuneRunner:
         self.seed = seed
         self.eval_bs = eval_batch_size or task_cfg.eval_batch_size
         self.eval_steps = eval_steps      # mid-epoch eval cadence (optional)
+        # HBM-direct training: when the train store fits HBM its processed
+        # tensors live on device and the pipeline feeds only token ids +
+        # store_idx; the bank rides the jitted step as ARGUMENTS (the same
+        # contract as the eval path — never closure constants, which would
+        # ship with every axon remote-compile request).
+        self.train_bank = train_bank
+        self._bank_tensors = train_bank.tensors() if train_bank is not None \
+            else None
         os.makedirs(output_dir, exist_ok=True)
         self.logger = MetricsLogger(output_dir, task_cfg.name)
         self._val_bank = None
@@ -103,14 +112,24 @@ class FinetuneRunner:
         from .loop import perlayer_state
         return perlayer_state(state, getattr(self.cfg, "num_layers", 0))
 
-    def _make_step(self, opt, grad_mask=None):
+    def _make_step(self, opt):
         return jax.jit(make_train_step(
             self.fwd, self.cfg, opt, self.D,
             semantic_lambda=self.task_cfg.semantic_lambda,
             top_k=self.task_cfg.semantic_top_k,
-            compute_dtype=self.compute_dtype, grad_mask=grad_mask,
+            compute_dtype=self.compute_dtype,
             criterion=self.task_cfg.loss),
             donate_argnums=(0,))
+
+    def _runtime_mask(self, mask):
+        """Grad-mask pytree as a RUNTIME step argument in the per-layer
+        training layout. Never a closure constant: a full-scale mask is
+        ~340 MB that would ship with every remote-compile request (the same
+        landmine as feature banks), and threading it lets every prune round
+        and the SFT recipe share ONE compiled step program."""
+        from .loop import _unstack_mask_tree
+        gm = pr.grad_mask_tree(mask)
+        return _unstack_mask_tree(gm, getattr(self.cfg, "num_layers", 0))
 
     def _val_batches(self):
         """Device-resident validation batches, assembled ONCE and reused
@@ -154,27 +173,71 @@ class FinetuneRunner:
             consume(inflight.popleft())
         return self.logger.show_val(epoch)
 
-    def _train_epoch(self, state, step_fn, epoch, *, log_every=20):
+    def _train_epoch(self, state, step_fn, epoch, *, log_every=20,
+                     start_step=0, best=-1.0, grad_mask=None):
         # rbg PRNG: much cheaper dropout-bit generation on TPU than the
         # default threefry (no parity requirement — the reference's dropout
-        # stream is torch RNG anyway)
+        # stream is torch RNG anyway). Keyed by (seed, epoch) and folded by
+        # the ABSOLUTE step index, so a mid-epoch resume replays the exact
+        # dropout stream of an uninterrupted run.
+        import time
+        from collections import deque
         rng = jax.random.key(self.seed * 1000 + epoch, impl="rbg")
-        for i, batch in enumerate(self.pipe.epoch(epoch)):
-            state, m = step_fn(state, batch, jax.random.fold_in(rng, i))
+        it = self.pipe.epoch(epoch, start_step=start_step)
+        # metric fetches lag the dispatch by 2 steps so the host never
+        # blocks on the step it just issued — device compute overlaps the
+        # next batch's assembly/transfer (the reference's loop is
+        # synchronous; its own input stage is its documented bottleneck)
+        inflight: deque = deque()
+
+        def drain(j, m):
             self.logger.step_train(epoch, float(m["loss"]),
                                    float(m["score"]), 0.0)
-            if log_every and (i + 1) % log_every == 0:
+            if log_every and (j + 1) % log_every == 0:
                 self.logger.show_train(epoch)
+
+        t0 = None
+        n_done = 0
+        for i, batch in enumerate(it, start=start_step):
+            state, m = step_fn(state, batch, jax.random.fold_in(rng, i),
+                               self._bank_tensors, grad_mask)
+            if t0 is None:
+                jax.block_until_ready(m["loss"])   # first step = compile
+                t0 = time.time()
+            else:
+                n_done += 1
+            inflight.append((i, m))
+            if len(inflight) > 2:
+                drain(*inflight.popleft())
             if (self.eval_steps and (i + 1) % self.eval_steps == 0
                     and self.val_ds is not None):
                 self.evaluate(state.params, epoch)
             if self._preempted:
-                ckpt.save_state(self.out, state, epoch=epoch - 1,
-                                best_score=-1.0,
+                # Step-granular preemption checkpoint (beyond the reference's
+                # epoch-granular resume, train_utils.py:488-510): meta records
+                # (epoch, completed steps); the pipeline order is a pure
+                # function of (seed, epoch), so resume skips exactly the
+                # completed prefix and the final state is bit-identical to an
+                # uninterrupted run (tests/test_preemption_resume.py).
+                ckpt.save_state(self.out, state, epoch=epoch,
+                                best_score=best,
                                 extra={"logger": self.logger.state_dict(),
-                                       "preempted_mid_epoch": epoch})
+                                       "mid_epoch_step": i + 1})
                 raise SystemExit(
-                    f"preempted: state checkpointed to {self.out}")
+                    f"preempted at epoch {epoch} step {i + 1}: "
+                    f"state checkpointed to {self.out}")
+        if inflight:
+            jax.block_until_ready(inflight[-1][1]["loss"])
+        dt = time.time() - t0 if t0 is not None else 0.0
+        while inflight:
+            drain(*inflight.popleft())
+        if n_done > 0 and dt > 0:
+            # integrated sustained throughput: real pipeline feeding the
+            # device, steady state (first/compile step excluded)
+            qa = n_done * self.task_cfg.batch_size / dt
+            self.last_epoch_qa_per_sec = qa
+            print(f"epoch {epoch}: {n_done} steady-state steps in {dt:.1f}s "
+                  f"= {qa:.0f} QA/s integrated")
         self.logger.show_train(epoch)
         return state
 
@@ -185,23 +248,35 @@ class FinetuneRunner:
         # consume the shared theta_0 buffers needed by rewind/other recipes
         return jax.tree.map(jnp.array, self.params0)
 
+    def _resume_meta(self, state):
+        """(state, start_epoch, start_step, best) from the latest checkpoint.
+        A meta with 'mid_epoch_step' re-enters that epoch at the recorded
+        step; an end-of-epoch meta starts the next epoch."""
+        state, meta = ckpt.resume_state(self.out, state)
+        self.logger.load_state_dict(meta.get("logger", {}))
+        best = meta["best_score"]
+        if meta.get("mid_epoch_step"):
+            return state, meta["epoch"], meta["mid_epoch_step"], best
+        return state, meta["epoch"] + 1, 0, best
+
     def finetune(self, *, resume: bool = False) -> float:
         opt = self._build_opt()
         step_fn = self._make_step(opt)
         params = self._fresh_theta0()
         state = TrainState(params, opt.init(params),
                            jnp.zeros((), jnp.int32))
-        start_epoch, best = 0, -1.0
+        start_epoch, start_step, best = 0, 0, -1.0
         if resume:
             try:
-                state, meta = ckpt.resume_state(self.out, state)
-                start_epoch, best = meta["epoch"] + 1, meta["best_score"]
-                self.logger.load_state_dict(meta.get("logger", {}))
+                state, start_epoch, start_step, best = \
+                    self._resume_meta(state)
             except FileNotFoundError:
                 pass
         state = self._perlayer(state)     # training layout (loop.py)
         for epoch in range(start_epoch, self.task_cfg.num_epoch):
-            state = self._train_epoch(state, step_fn, epoch)
+            state = self._train_epoch(
+                state, step_fn, epoch, best=best,
+                start_step=start_step if epoch == start_epoch else 0)
             score = self.evaluate(state.params, epoch)
             if score > best:
                 best = score
@@ -214,13 +289,19 @@ class FinetuneRunner:
         mask = pr.init_mask(self.params0, self.model_name)
         best, best_epoch = -1.0, -1
         history = []
+        # ONE optimizer/step program for every prune round: the reference
+        # rebuilds optimizer+scheduler from scratch each round (791-866) —
+        # opt.init() below resets count/moments, which is exactly that — and
+        # the mask rides the step as a runtime argument, so re-pruning never
+        # recompiles.
+        opt = self._build_opt()
+        step_fn = self._make_step(opt)
         for epoch in range(self.task_cfg.num_epoch):
-            opt = self._build_opt()          # rebuilt each round (791-866)
-            step_fn = self._make_step(opt, grad_mask=pr.grad_mask_tree(mask))
             params = pr.apply_mask(self._fresh_theta0(), mask)
             state = self._perlayer(TrainState(params, opt.init(params),
                                               jnp.zeros((), jnp.int32)))
-            state = self._train_epoch(state, step_fn, epoch)
+            state = self._train_epoch(state, step_fn, epoch,
+                                      grad_mask=self._runtime_mask(mask))
             from ..models.layers import restack_layer_tree
             mask = pr.imp_prune_step(
                 jax.tree.map(np.asarray, restack_layer_tree(state.params)),
@@ -241,16 +322,25 @@ class FinetuneRunner:
         return {"best_score": best, "best_epoch": best_epoch,
                 "history": history}
 
-    def sft(self, mask_path: str) -> float:
+    def sft(self, mask_path: str, *, resume: bool = False) -> float:
         mask = pr.load_mask(mask_path, self.params0, self.model_name)
         params = pr.apply_mask(self._fresh_theta0(), mask)
         opt = self._build_opt()
-        step_fn = self._make_step(opt, grad_mask=pr.grad_mask_tree(mask))
-        state = self._perlayer(TrainState(params, opt.init(params),
-                                          jnp.zeros((), jnp.int32)))
-        best = -1.0
-        for epoch in range(self.task_cfg.num_epoch):
-            state = self._train_epoch(state, step_fn, epoch)
+        step_fn = self._make_step(opt)
+        mask_rt = self._runtime_mask(mask)
+        state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+        start_epoch, start_step, best = 0, 0, -1.0
+        if resume:
+            try:
+                state, start_epoch, start_step, best = \
+                    self._resume_meta(state)
+            except FileNotFoundError:
+                pass
+        state = self._perlayer(state)
+        for epoch in range(start_epoch, self.task_cfg.num_epoch):
+            state = self._train_epoch(
+                state, step_fn, epoch, best=best, grad_mask=mask_rt,
+                start_step=start_step if epoch == start_epoch else 0)
             score = self.evaluate(state.params, epoch)
             if score > best:
                 best = score

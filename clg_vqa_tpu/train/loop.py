@@ -109,16 +109,17 @@ def stacked_state(state: TrainState) -> TrainState:
 def make_loss_fn(model_forward: Callable, cfg, distance_matrix, *,
                  semantic_lambda: float, top_k: int = 10,
                  compute_dtype=jnp.bfloat16, remat: bool = False,
-                 feature_bank=None, unroll: bool = True,
+                 unroll: bool = True,
                  criterion: str = "CrossEntropyLoss") -> Callable:
-    def loss_fn(params, mb, rng):
-        # NOTE: lookup inside the jitted step closes over the bank arrays
-        # (program constants). Fine for the few-shot training banks this
-        # path serves (tens of MB); large eval banks thread tensors as jit
-        # args instead (eval/runner.py) to keep them out of the remote
-        # compile payload.
-        if feature_bank is not None and "store_idx" in mb:
-            f, l, m = feature_bank.lookup(mb["store_idx"])
+    def loss_fn(params, mb, rng, bank=None):
+        # Device-resident feature bank: batches carry int32 'store_idx' and
+        # the region tensors ride as JIT ARGUMENTS (never closure constants
+        # — a closed-over bank ships with every axon remote-compile request,
+        # HTTP 413 at X101 scale). Same helper as the eval path
+        # (eval/runner.py, eval/predictor.py).
+        if bank is not None and "store_idx" in mb:
+            from ..data.device_bank import DeviceFeatureBank
+            f, l, m = DeviceFeatureBank.gather_from(bank, mb["store_idx"])
             mb = {**{k: v for k, v in mb.items() if k != "store_idx"},
                   "features": f, "locs": l, "image_mask": m}
         # unroll=True: static-block encoder for the grad path (removes the
@@ -143,15 +144,28 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
                     grad_mask: Any = None,
                     use_dropout: bool = True,
                     remat: bool = False,
-                    feature_bank=None,
                     unroll: bool = True,
                     unroll_accum: bool = False,
                     criterion: str = "CrossEntropyLoss") -> Callable:
-    """Returns train_step(state, batch, rng) -> (state, metrics).
+    """Returns train_step(state, batch, rng, bank=None, grad_mask_rt=None)
+    -> (state, metrics).
 
-    ``batch`` leaves are shaped [grad_acc, micro_bs, ...]. With a
-    feature_bank, batches carry int32 'store_idx' instead of features and the
-    region tensors are gathered from HBM inside the step.
+    ``batch`` leaves are shaped [grad_acc, micro_bs, ...]. With a device
+    feature bank, batches carry int32 'store_idx' instead of features and
+    ``bank`` = DeviceFeatureBank.tensors() rides as a jit argument; the
+    region tensors are gathered from HBM inside the step (zero per-step
+    feature H2D traffic).
+
+    Gradient masks (SFT / IMP / freeze) come in two forms:
+      - ``grad_mask`` (make-time): baked into the program as constants.
+        Convenient for tests/small models; at full scale the mask is
+        ~340 MB of constants that ship with every remote-compile request.
+      - ``grad_mask_rt`` (runtime argument, preferred): same semantics, no
+        constants, and recipes that change the mask (IMP re-prunes every
+        epoch) reuse ONE compiled program. The caller must supply it in the
+        layout gradients have at application time — i.e. matching
+        ``state.params`` (per-layer when the state is per-layer;
+        driver._runtime_mask does this).
 
     unroll: static-block encoder on the grad path (see uc2.encode) — big win,
     memory-neutral. unroll_accum: additionally unroll the accumulation scan;
@@ -161,11 +175,11 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
     loss_fn = make_loss_fn(model_forward, cfg, distance_matrix,
                            semantic_lambda=semantic_lambda, top_k=top_k,
                            compute_dtype=compute_dtype, remat=remat,
-                           feature_bank=feature_bank, unroll=unroll,
-                           criterion=criterion)
+                           unroll=unroll, criterion=criterion)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def train_step(state: TrainState, batch, rng):
+    def train_step(state: TrainState, batch, rng, bank=None,
+                   grad_mask_rt=None):
         acc = jax.tree.leaves(batch)[0].shape[0]
         rngs = jax.random.split(rng, acc) if use_dropout else None
 
@@ -184,17 +198,21 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
         params_w = (_L.unstack_layer_params(state.params, nL)
                     if unstack_here else state.params)
         # grad_mask in the layout the grads will have at application time
-        # (post-restack for a stacked state, i.e. as given)
-        mask_w = grad_mask
-        if grad_mask is not None and perlayer_in \
-                and not _has_perlayer(grad_mask):
-            mask_w = _unstack_mask_tree(grad_mask, nL)
+        # (post-restack for a stacked state, i.e. as given). A runtime mask
+        # takes precedence and must already match (see docstring).
+        if grad_mask_rt is not None:
+            mask_w = grad_mask_rt
+        else:
+            mask_w = grad_mask
+            if grad_mask is not None and perlayer_in \
+                    and not _has_perlayer(grad_mask):
+                mask_w = _unstack_mask_tree(grad_mask, nL)
 
         def micro(carry, xs):
             g_acc, l_acc, s_acc = carry
             mb, r = xs
             (loss, score), grads = grad_fn(params_w, mb,
-                                           r if use_dropout else None)
+                                           r if use_dropout else None, bank)
             g_acc = jax.tree.map(lambda a, g: a + g / acc, g_acc, grads)
             return (g_acc, l_acc + loss / acc, s_acc + score / acc), None
 
@@ -257,9 +275,13 @@ def make_eval_step(model_forward: Callable, cfg, *,
 # ---------------------------------------------------------------------------
 
 def shard_train_step(train_step: Callable, mesh, state: TrainState,
-                     batch_example, *, donate: bool = True) -> Callable:
+                     batch_example, *, donate: bool = True,
+                     with_bank: bool = False) -> Callable:
     """jit the train step over a (dp, mp) mesh with explicit in/out shardings.
-    XLA inserts the dp gradient all-reduce and mp collectives automatically."""
+    XLA inserts the dp gradient all-reduce and mp collectives automatically.
+
+    with_bank: the step additionally takes DeviceFeatureBank.tensors() as a
+    4th argument (replicated — every dp shard gathers its own rows)."""
     from ..parallel import mesh as pm
 
     # params get the (dp-replicated, mp-sharded) layout; optimizer mu/nu
@@ -267,8 +289,11 @@ def shard_train_step(train_step: Callable, mesh, state: TrainState,
     state_sh = _shard_opt_state_like(mesh, state)
     batch_sh = pm.batch_shardings(mesh, batch_example, microbatched=True)
     rng_sh = pm.replicated(mesh)
+    in_sh = (state_sh, batch_sh, rng_sh)
+    if with_bank:
+        in_sh = in_sh + ((pm.replicated(mesh),) * 3,)
     return jax.jit(train_step,
-                   in_shardings=(state_sh, batch_sh, rng_sh),
+                   in_shardings=in_sh,
                    out_shardings=(state_sh, pm.replicated(mesh)),
                    donate_argnums=(0,) if donate else ())
 

@@ -251,12 +251,27 @@ def test_train_step_with_feature_bank(tiny):
         compute_dtype=None, use_dropout=False))
     step_bank = jax.jit(tl.make_train_step(
         uc2.forward, cfg, opt, D, semantic_lambda=1.0, top_k=4,
-        compute_dtype=None, use_dropout=False, feature_bank=bank))
+        compute_dtype=None, use_dropout=False))
     rng = jax.random.key(0)
     sa, ma = step_host(state_a, host_batch, rng)
-    sb, mb = step_bank(state_b, bank_batch, rng)
+    sb, mb = step_bank(state_b, bank_batch, rng, bank.tensors())
     np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
                                rtol=1e-6)
+
+    # the bank tensors must enter the program as jit ARGUMENTS, not closure
+    # constants (a closed-over bank rides every axon remote-compile request;
+    # see train/loop.make_loss_fn). in_avals must contain the bank feature
+    # shape, and no constant may be bank-sized.
+    jaxpr = jax.make_jaxpr(tl.make_train_step(
+        uc2.forward, cfg, opt, D, semantic_lambda=1.0, top_k=4,
+        compute_dtype=None, use_dropout=False))(
+            state_b, bank_batch, rng, bank.tensors())
+    bank_shape = tuple(bank.features.shape)
+    assert any(tuple(getattr(a, "shape", ())) == bank_shape
+               for a in jaxpr.in_avals), \
+        f"bank features not a jit input: {bank_shape}"
+    assert all(np.asarray(c).nbytes < bank.features.nbytes
+               for c in jaxpr.consts if hasattr(c, "nbytes"))
 
 
 def test_freeze_mask_blocks_updates(tiny):
