@@ -87,6 +87,88 @@ def pad_regions(features: np.ndarray, locs: np.ndarray, num_boxes: int,
     return f, l, m
 
 
+class AllFeaturesReader:
+    """Full-record reader — the reference's `_all_image_features_reader.py`
+    variant (19-146): unlike the padded/normalized training reader it returns
+    EVERYTHING the extractor wrote for an image, including the un-normalized
+    pixel locations and the detection metadata (class/attribute labels and
+    confidences) that pretraining-style consumers need.
+
+    Wraps any store with ``get(image_id) -> RegionRecord`` (LMDB or CFS).
+    Reference quirks reproduced exactly:
+      - the area column is computed only for num_locs == 5 (the all-reader
+        has no 7-loc branch, _all_image_features_reader.py:91-97);
+      - ``image_location_ori`` is the pixel-space copy taken BEFORE
+        normalization (99-104);
+      - obj_confs is reshaped to [-1, num_boxes_without_global] (139);
+      - cls_prob / attrs fall back to None when the store lacks them
+        (134-138 try/except).
+    """
+
+    def __init__(self, reader, *, num_locs: int = 5,
+                 add_global_imgfeat: str | None = None):
+        self.reader = reader
+        self.num_locs = num_locs
+        self.add_global_imgfeat = add_global_imgfeat
+
+    def __len__(self):
+        return len(self.reader.keys())
+
+    def keys(self):
+        return self.reader.keys()
+
+    def __getitem__(self, image_id):
+        rec = self.reader.get(image_id)
+        feats = np.asarray(rec.features, np.float32)
+        boxes = np.asarray(rec.boxes, np.float32)
+        w, h = float(rec.img_w), float(rec.img_h)
+
+        loc = np.zeros((boxes.shape[0], self.num_locs), np.float32)
+        loc[:, :4] = boxes
+        if self.num_locs == 5:
+            loc[:, 4] = ((loc[:, 3] - loc[:, 1]) * (loc[:, 2] - loc[:, 0])
+                         / (w * h))
+        loc_ori = loc.copy()
+        loc[:, 0] /= w
+        loc[:, 1] /= h
+        loc[:, 2] /= w
+        loc[:, 3] /= h
+
+        num_boxes = feats.shape[0]
+        if self.add_global_imgfeat in ("first", "last"):
+            g_feat = feats.sum(0, keepdims=True) / num_boxes
+            g_loc = np.array([[0, 0, 1, 1] + [1] * (self.num_locs - 4)],
+                             np.float32)
+            g_ori = np.array([[0, 0, w, h] + [w * h] * (self.num_locs - 4)],
+                             np.float32)
+            num_boxes += 1
+            if self.add_global_imgfeat == "first":
+                feats = np.concatenate([g_feat, feats], 0)
+                loc = np.concatenate([g_loc, loc], 0)
+                loc_ori = np.concatenate([g_ori, loc_ori], 0)
+            else:
+                feats = np.concatenate([feats, g_feat], 0)
+                loc = np.concatenate([loc, g_loc], 0)
+                loc_ori = np.concatenate([loc_ori, g_ori], 0)
+
+        image_cls = getattr(rec, "cls_prob", None)
+        image_attrs = None
+        obj_labels = np.asarray(rec.obj_id, np.int64) \
+            if rec.obj_id is not None else None
+        obj_confs = None
+        if rec.obj_conf is not None:
+            n_no_global = num_boxes - (self.add_global_imgfeat is not None)
+            obj_confs = np.asarray(rec.obj_conf, np.float32) \
+                .reshape(-1, n_no_global)
+        attr_labels = np.asarray(rec.attr_id, np.int64) \
+            if rec.attr_id is not None else None
+        attr_confs = np.asarray(rec.attr_conf, np.float32) \
+            if rec.attr_conf is not None else None
+
+        return (feats, num_boxes, loc, loc_ori, image_cls, obj_labels,
+                obj_confs, attr_labels, attr_confs, image_attrs)
+
+
 # ---------------------------------------------------------------------------
 # Readers
 # ---------------------------------------------------------------------------

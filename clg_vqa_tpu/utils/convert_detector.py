@@ -111,14 +111,32 @@ def _blocks(sd, base, n, *, conv_prefix=""):
     return blocks
 
 
+#: checkpoint entries that carry no learnable weight our pipeline needs
+#: (normalization buffers are config-derived; anchors are regenerated)
+_C4_IGNORED = re.compile(
+    r"pixel_mean|pixel_std|anchor_generator|cell_anchors")
+
+
 def detectron2_c4_to_pytree(sd: Mapping[str, np.ndarray], *,
-                            depth: int = 101) -> dict:
-    """detectron2-named VG R-C4 checkpoint -> Extractor36 params pytree."""
+                            depth: int = 101, strict: bool = True) -> dict:
+    """detectron2-named VG R-C4 checkpoint -> Extractor36 params pytree.
+
+    strict: raise KeyError listing any checkpoint key that was neither
+    consumed nor on the known no-weight ignore list — mapping drift against
+    a real released pkl fails loudly instead of silently dropping weights."""
     from ..models.detector.resnet import STAGE_BLOCKS
     if any(k.startswith("res2_0") or k == "conv1_w" for k in sd):
         sd = caffe2_to_detectron2_names(sd)
     sd = {k.replace("model.", "", 1) if k.startswith("model.") else k: v
           for k, v in sd.items()}
+    used: set[str] = set()
+
+    class _Track(dict):
+        def __getitem__(self, k):
+            used.add(k)
+            return dict.__getitem__(self, k)
+
+    sd = _Track(sd)
     n2, n3, n4, n5 = STAGE_BLOCKS[depth]
     params = {
         "backbone": {
@@ -145,6 +163,13 @@ def detectron2_c4_to_pytree(sd: Mapping[str, np.ndarray], *,
             "attr_score": _lin(sd, "roi_heads.box_predictor.attr_score"),
         },
     }
+    if strict:
+        leftovers = [k for k in sd
+                     if k not in used and not _C4_IGNORED.search(k)]
+        if leftovers:
+            raise KeyError(
+                f"unmapped checkpoint keys: {sorted(leftovers)[:10]}"
+                f" (+{max(len(leftovers) - 10, 0)} more)")
     return params
 
 
@@ -194,3 +219,103 @@ def pytree_to_detectron2_c4(params: dict) -> dict[str, np.ndarray]:
     put_lin("roi_heads.box_predictor.fc_attr", pr["fc_attr"])
     put_lin("roi_heads.box_predictor.attr_score", pr["attr_score"])
     return sd
+
+
+# ---------------------------------------------------------------------------
+# X-101-32x8d FPN (vqa-maskrcnn-benchmark / mmf feature pipeline)
+# ---------------------------------------------------------------------------
+
+#: state-dict keys that carry no learnable weights (anchor buffers are
+#: re-derived from config by our RPN; BufferList registers them in the
+#: torch state_dict, anchor_generator.py:49-58)
+_X101_IGNORED = re.compile(r"(^|\.)anchor_generator\.|cell_anchors")
+
+
+def maskrcnn_x101_to_pytree(sd: Mapping[str, np.ndarray]) -> dict:
+    """vqa-maskrcnn-benchmark ``detectron_model.pth`` (GeneralizedRCNN,
+    X-101-32x8d-FPN) -> ExtractorX101 params pytree.
+
+    Key naming per the vendored sources:
+      backbone.body.stem.{conv1,bn1}            resnet.py:270-277
+      backbone.body.layer{1..4}.{i}.{conv,bn}{1,2,3} / .downsample.{0,1}
+                                                resnet.py:200-246
+      backbone.fpn.fpn_inner{1..4} / fpn_layer{1..4}   fpn.py:28-29
+      rpn.head.{conv,cls_logits,bbox_pred}      rpn/rpn.py:27-29
+      roi_heads.box.feature_extractor.{fc6,fc7} roi_box_feature_extractors.py:63-64
+      roi_heads.box.predictor.{cls_score,bbox_pred}    roi_box_predictors.py:19-20
+
+    FrozenBatchNorm stats are folded (the .pth stores weight/bias/
+    running_mean/running_var even though they're frozen); conv weights go
+    OIHW -> HWIO (grouped convs keep [k, k, cin/groups, cout]); linear
+    weights [out, in] -> [in, out]. fc6 consumes the C-order-flattened
+    [C, 7, 7] crop exactly as torch's .view does, so no input permutation
+    is needed (models/detector/fpn.py box_head_fc keeps crops channel-first).
+    Raises KeyError listing leftovers if any non-ignored key goes unused.
+    """
+    from ..models.detector.resnet import STAGE_BLOCKS
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    used: set[str] = set()
+
+    class Track(dict):
+        def __getitem__(self, k):
+            used.add(k)
+            return dict.__getitem__(self, k)
+
+        def __contains__(self, k):
+            return dict.__contains__(self, k)
+
+    t = Track(sd)
+
+    def blocks(stage_idx: int, n: int):
+        base = f"backbone.body.layer{stage_idx}"
+        out = []
+        for i in range(n):
+            p = {
+                "conv1": _conv(t, f"{base}.{i}.conv1"),
+                "bn1": _fold_bn(t, f"{base}.{i}.bn1"),
+                "conv2": _conv(t, f"{base}.{i}.conv2"),
+                "bn2": _fold_bn(t, f"{base}.{i}.bn2"),
+                "conv3": _conv(t, f"{base}.{i}.conv3"),
+                "bn3": _fold_bn(t, f"{base}.{i}.bn3"),
+            }
+            if f"{base}.{i}.downsample.0.weight" in sd:
+                p["shortcut"] = _conv(t, f"{base}.{i}.downsample.0")
+                p["bn_sc"] = _fold_bn(t, f"{base}.{i}.downsample.1")
+            out.append(p)
+        return out
+
+    n2, n3, n4, n5 = STAGE_BLOCKS[101]
+    params = {
+        "backbone": {
+            "stem": {"conv1": _conv(t, "backbone.body.stem.conv1"),
+                     "bn1": _fold_bn(t, "backbone.body.stem.bn1")},
+            "res2": blocks(1, n2), "res3": blocks(2, n3),
+            "res4": blocks(3, n4), "res5": blocks(4, n5),
+        },
+        "fpn": {
+            "lateral": [_conv(t, f"backbone.fpn.fpn_inner{i}")
+                        for i in (1, 2, 3, 4)],
+            "output": [_conv(t, f"backbone.fpn.fpn_layer{i}")
+                       for i in (1, 2, 3, 4)],
+        },
+        "rpn": {
+            "conv": _conv(t, "rpn.head.conv"),
+            "objectness": _conv(t, "rpn.head.cls_logits"),
+            "deltas": _conv(t, "rpn.head.bbox_pred"),
+        },
+        "box_head": {
+            "fc6": _lin(t, "roi_heads.box.feature_extractor.fc6"),
+            "fc7": _lin(t, "roi_heads.box.feature_extractor.fc7"),
+        },
+        "predictor": {
+            "cls_score": _lin(t, "roi_heads.box.predictor.cls_score"),
+            "bbox_pred": _lin(t, "roi_heads.box.predictor.bbox_pred"),
+        },
+    }
+    leftovers = [k for k in sd
+                 if k not in used and not _X101_IGNORED.search(k)]
+    if leftovers:
+        raise KeyError(f"unmapped checkpoint keys: {sorted(leftovers)[:10]}"
+                       f" (+{max(len(leftovers) - 10, 0)} more)")
+    return params

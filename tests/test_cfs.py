@@ -172,3 +172,75 @@ def test_cfs_rejects_corrupt_file(tmp_path):
     bad.write_bytes(b"NOTCFS" + b"\x00" * 64)
     with pytest.raises(ValueError):
         CfsReader(str(bad))
+
+
+def test_all_features_reader_reference_semantics(tmp_path):
+    """AllFeaturesReader == a numpy replica of the reference all-reader
+    (_all_image_features_reader.py:73-146): pixel-space ori copy before
+    normalization, num_locs==5-only area column, global-feature variants,
+    obj_confs row reshape, detection metadata pass-through."""
+    from clg_vqa_tpu.data.features import AllFeaturesReader
+    r = np.random.RandomState(3)
+    n, d = 5, 8
+    W, H = 640.0, 480.0
+    feats = r.randn(n, d).astype(np.float32)
+    x1 = r.rand(n).astype(np.float32) * 500
+    y1 = r.rand(n).astype(np.float32) * 300
+    boxes = np.stack([x1, y1, x1 + 30, y1 + 40], 1)
+    obj_id = r.randint(0, 1600, n)
+    obj_conf = r.rand(n).astype(np.float32)
+    attr_id = r.randint(0, 400, n)
+    attr_conf = r.rand(n).astype(np.float32)
+    path = str(tmp_path / "all.cfs")
+    with CfsWriter(path) as w:
+        w.add(RegionRecord("im0", feats, boxes, W, H, obj_id=obj_id,
+                           obj_conf=obj_conf, attr_id=attr_id,
+                           attr_conf=attr_conf))
+    rd = CfsReader(path)
+
+    for glb in (None, "first", "last"):
+        out = AllFeaturesReader(rd, num_locs=5, add_global_imgfeat=glb)["im0"]
+        (f, nb, loc, loc_ori, cls, ol, oc, al, ac, attrs) = out
+        # independent replica
+        exp_loc = np.zeros((n, 5), np.float32)
+        exp_loc[:, :4] = boxes
+        exp_loc[:, 4] = (boxes[:, 3] - boxes[:, 1]) * \
+            (boxes[:, 2] - boxes[:, 0]) / (W * H)
+        exp_ori = exp_loc.copy()
+        exp_loc = exp_loc / np.array([W, H, W, H, 1], np.float32)
+        exp_f, exp_nb = feats, n
+        if glb is not None:
+            g = feats.sum(0, keepdims=True) / n
+            gl = np.array([[0, 0, 1, 1, 1]], np.float32)
+            go = np.array([[0, 0, W, H, W * H]], np.float32)
+            exp_nb = n + 1
+            order = ([g, feats], [gl, exp_loc], [go, exp_ori]) \
+                if glb == "first" else \
+                ([feats, g], [exp_loc, gl], [exp_ori, go])
+            exp_f = np.concatenate(order[0], 0)
+            exp_loc = np.concatenate(order[1], 0)
+            exp_ori = np.concatenate(order[2], 0)
+        assert nb == exp_nb
+        np.testing.assert_allclose(f, exp_f, rtol=1e-6)
+        np.testing.assert_allclose(loc, exp_loc, rtol=1e-6)
+        np.testing.assert_allclose(loc_ori, exp_ori, rtol=1e-6)
+        assert cls is None and attrs is None
+        np.testing.assert_array_equal(ol, obj_id)
+        assert oc.shape == (1, n)              # reference reshape quirk
+        np.testing.assert_allclose(oc[0], obj_conf, rtol=1e-6)
+        np.testing.assert_array_equal(al, attr_id)
+        np.testing.assert_allclose(ac, attr_conf, rtol=1e-6)
+
+
+def test_all_features_reader_no_area_for_7loc(tmp_path):
+    """The all-reader computes the area column ONLY for num_locs == 5
+    (_all_image_features_reader.py:91-97) — 7-loc rows keep zeros past xyxy."""
+    from clg_vqa_tpu.data.features import AllFeaturesReader
+    boxes = np.array([[10, 10, 50, 50]], np.float32)
+    path = str(tmp_path / "a7.cfs")
+    with CfsWriter(path) as w:
+        w.add(RegionRecord("i", np.ones((1, 4), np.float32), boxes,
+                           100.0, 100.0))
+    out = AllFeaturesReader(CfsReader(path), num_locs=7)["i"]
+    loc = out[2]
+    np.testing.assert_array_equal(loc[:, 4:], np.zeros((1, 3), np.float32))
