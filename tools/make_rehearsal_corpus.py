@@ -1,0 +1,186 @@
+"""Build a full-scale synthetic rehearsal corpus for the complete recipe.
+
+The environment has no network egress, so the real GQA feature stores and
+questions cannot be fetched — but every ARTIFACT FORMAT the recipe consumes
+can be produced at the real scale:
+
+  {out}/features.cfs                     N images x 36 regions x 2048-d (the
+                                         exact shape the R101-C4 extractor
+                                         emits, detectron2_proposal_maxnms.py:212-220)
+  {out}/dataroot/trainval_ans2label.pkl  the reference's REAL 1842-answer
+  {out}/dataroot/trainval_label2ans.pkl  vocabulary (read from the reference's
+                                         shipped data assets)
+  {out}/dataroot/{train,val}_target.pkl  QA items in the reference target-pkl
+                                         schema (question_id/image_id/question/
+                                         labels/scores)
+  {out}/dataroot/testdev_balanced_questions.json
+                                         GQA test dict {qid: {imageId,
+                                         question, answer}} — doubles as the
+                                         scorer truth file
+  {out}/embedding_distance.pkl           semantic-prior pairwise distances in
+                                         the extract_emb_dist.py pkl format,
+                                         from deterministic synthetic word
+                                         vectors over the real answer strings
+  {out}/task.yml                         TASK15 config at the full recipe
+                                         envelope (bs 256, lambda 10, MUSE
+                                         dicts) pointing at the above
+
+Questions are templated REAL English ("is there a {answer} near the
+{distractor} ?") with the label's answer string embedded, so (a) training
+accuracy can climb well above the 1/1842 floor, and (b) the MUSE code-mixing
+stage translates real words.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_DATA = "/root/reference/datasets"
+
+TEMPLATES = [
+    "what is the {a} near the {d} ?",
+    "is there a {a} above the {d} ?",
+    "do you see the {a} to the left of the {d} ?",
+    "which thing is the {a} behind the {d} ?",
+    "the {d} is next to the {a} , what is it ?",
+]
+
+
+def make_questions(rng, label2ans, n, qid0):
+    L = len(label2ans)
+    labels = rng.randint(0, L, n)
+    items = []
+    for k in range(n):
+        a = label2ans[labels[k]]
+        d = label2ans[rng.randint(0, L)]
+        t = TEMPLATES[rng.randint(0, len(TEMPLATES))]
+        items.append({"question_id": qid0 + k,
+                      "question": t.format(a=a, d=d),
+                      "labels": [int(labels[k])], "scores": [1.0]})
+    return items
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--n_images", type=int, default=600)
+    p.add_argument("--n_train", type=int, default=56320,
+                   help="220 steps/epoch at bs 256")
+    p.add_argument("--n_val", type=int, default=4096)
+    p.add_argument("--n_test", type=int, default=2048)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ref_data", default=REF_DATA,
+                   help="reference datasets dir (answer vocab + MUSE dicts)")
+    p.add_argument("--max_regions", type=int, default=36)
+    p.add_argument("--feat_dim", type=int, default=2048)
+    args = p.parse_args(argv)
+
+    from clg_vqa_tpu.data.cfs import CfsWriter
+    from clg_vqa_tpu.data.features import RegionRecord
+    from clg_vqa_tpu.data.prior import build_embedding_distances
+
+    out = args.out
+    droot = os.path.join(out, "dataroot")
+    os.makedirs(droot, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+
+    # real 1842-answer vocabulary (data asset, not code)
+    with open(os.path.join(args.ref_data,
+                           "gqa/annotations/trainval_ans2label.pkl"),
+              "rb") as f:
+        ans2label = pickle.load(f)
+    with open(os.path.join(args.ref_data,
+                           "gqa/annotations/trainval_label2ans.pkl"),
+              "rb") as f:
+        label2ans = pickle.load(f)
+    for name, obj in (("trainval_ans2label.pkl", ans2label),
+                      ("trainval_label2ans.pkl", label2ans)):
+        with open(os.path.join(droot, name), "wb") as f:
+            pickle.dump(obj, f)
+
+    # feature store: the extractor's output shape at full scale
+    cfs = os.path.join(out, "features.cfs")
+    R, Dm = args.max_regions, args.feat_dim
+    with CfsWriter(cfs) as w:
+        for i in range(args.n_images):
+            W, H = 800.0, 600.0
+            x1 = rng.rand(R).astype(np.float32) * (W - 80)
+            y1 = rng.rand(R).astype(np.float32) * (H - 80)
+            boxes = np.stack(
+                [x1, y1, x1 + 40 + rng.rand(R).astype(np.float32) * 40,
+                 y1 + 40 + rng.rand(R).astype(np.float32) * 40], 1)
+            feats = (rng.randn(R, Dm) * 0.5).astype(np.float32)
+            w.add(RegionRecord(f"img{i}", feats, boxes, W, H))
+
+    # QA splits
+    def dump_target(split, items):
+        for k, it in enumerate(items):
+            it["image_id"] = f"img{(it['question_id'] * 7919) % args.n_images}"
+        with open(os.path.join(droot, f"{split}_target.pkl"), "wb") as f:
+            pickle.dump(items, f)
+
+    dump_target("train", make_questions(rng, label2ans, args.n_train, 0))
+    dump_target("val", make_questions(rng, label2ans, args.n_val, 10_000_000))
+    test_items = make_questions(rng, label2ans, args.n_test, 20_000_000)
+    test_d = {str(it["question_id"]): {
+        "imageId": f"img{(it['question_id'] * 7919) % args.n_images}",
+        "question": it["question"],
+        "answer": label2ans[it["labels"][0]]} for it in test_items}
+    with open(os.path.join(droot, "testdev_balanced_questions.json"),
+              "w") as f:
+        json.dump(test_d, f)
+
+    # semantic prior in the extract_emb_dist.py pkl format, from
+    # deterministic synthetic vectors over the real answer strings
+    vocab = sorted({t for a in label2ans for t in a.split()})
+    vrng = np.random.RandomState(7)
+    vectors = {wd: vrng.randn(64).astype(np.float32) for wd in vocab}
+    dists = build_embedding_distances(label2ans, vectors)
+    prior_pkl = os.path.join(out, "embedding_distance.pkl")
+    with open(prior_pkl, "wb") as f:
+        pickle.dump(dists, f)
+
+    muse = os.path.join(args.ref_data, "dictionary/MUSE")
+    yml = f"""TASK15:
+  name: GQA
+  type: VL-classifier-GQA
+  num_labels: {len(label2ans)}
+  loss: CrossEntropyLoss
+  process: normal
+  task_id: 15
+  dataroot: {droot}
+  features_h5path1: {cfs}
+  features_h5path2: {cfs}
+  max_seq_length: 40
+  max_region_num: {R}
+  batch_size: 256
+  eval_batch_size: 512
+  train_split: train
+  val_split: val
+  lr: 0.00004
+  num_epoch: 5
+  ratio: 1
+  cross: 0.9
+  dictionary_path: {muse}
+  code_mixing: False
+  semantic_dict_path: {prior_pkl}
+  semantic_lambda: 10
+"""
+    with open(os.path.join(out, "task.yml"), "w") as f:
+        f.write(yml)
+
+    print(f"rehearsal corpus at {out}: {args.n_images} images, "
+          f"{args.n_train}/{args.n_val}/{args.n_test} train/val/test QA, "
+          f"{len(label2ans)} labels, prior pkl "
+          f"{os.path.getsize(prior_pkl) / 1e6:.0f} MB")
+
+
+if __name__ == "__main__":
+    main()
