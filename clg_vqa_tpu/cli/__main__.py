@@ -174,12 +174,12 @@ def cmd_extract(args):
     paths = sorted(_glob.glob(os.path.join(args.images, "*")))
 
     def gen():
+        # lazy loaders: the PIL decode runs inside extract_many's prefetch
+        # workers, overlapped with device inference
         n = 0
         for p in paths:
-            img = _load_image_bgr(p)
-            if img is None:
-                continue
-            yield img, os.path.splitext(os.path.basename(p))[0]
+            yield ((lambda p=p: _load_image_bgr(p)),
+                   os.path.splitext(os.path.basename(p))[0])
             n += 1
             if args.limit and n >= args.limit:
                 return

@@ -150,18 +150,36 @@ class ExtractorX101:
             "num_valid": jnp.sum(max_conf > 0),
         }
 
-    def preprocess(self, raw_bgr: np.ndarray):
+    def _preprocess_prog(self, rh: int, rw: int, dtype):
+        """ONE jitted program per raw shape (same rationale as
+        Extractor36._preprocess_prog: the eager chain paid ~5 remote
+        dispatches per image and compiled per shape anyway)."""
         from .extractor import PIXEL_MEAN_BGR, resize_shortest_edge
-        c = self.cfg
+        cache = getattr(self, "_pre_cache", None)
+        if cache is None:
+            cache = self._pre_cache = {}
+        key = (rh, rw, np.dtype(dtype).str)
+        if key not in cache:
+            c = self.cfg
+            nh, nw = resize_shortest_edge(rh, rw, c.short, c.max_size)
+
+            def f(raw):
+                # BGR->RGB flip BEFORE subtracting the BGR means, then
+                # resize — the reference's quirk order
+                img = raw[:, :, ::-1].astype(jnp.float32)
+                img = img - jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
+                img = jax.image.resize(img, (nh, nw, 3), method="linear")
+                pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
+                return pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w])
+
+            cache[key] = (jax.jit(f), (nh, nw))
+        return cache[key]
+
+    def preprocess(self, raw_bgr: np.ndarray):
         rh, rw = raw_bgr.shape[:2]
-        # upload uint8, flip + mean-subtract on device (BGR->RGB flip before
-        # subtracting the BGR means — the reference's quirk)
-        img = jnp.asarray(np.ascontiguousarray(raw_bgr))[:, :, ::-1]             .astype(jnp.float32)
-        img = img - jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
-        nh, nw = resize_shortest_edge(rh, rw, c.short, c.max_size)
-        img = jax.image.resize(img, (nh, nw, 3), method="linear")
-        pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
-        return pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w]), (nh, nw), (rh, rw)
+        prog, (nh, nw) = self._preprocess_prog(rh, rw, raw_bgr.dtype)
+        img = prog(jnp.asarray(np.ascontiguousarray(raw_bgr)))
+        return img, (nh, nw), (rh, rw)
 
     def _finish(self, image_id, out, nh, rh, rw) -> RegionRecord:
         out = jax.device_get(out)
@@ -177,11 +195,13 @@ class ExtractorX101:
         out = self._jitted(self.params, img, jnp.asarray((nh, nw), jnp.int32))
         return self._finish(image_id, out, nh, rh, rw)
 
-    def extract_many(self, items, *, depth: int = 2, device_batch: int = 1):
-        """Pipelined bulk extraction: ``items`` yields (raw_bgr, image_id);
-        keeps ``depth`` device calls in flight so host preprocessing and the
-        device pipeline overlap (jax dispatch is async; only the final
-        device_get blocks). The reference driver runs bs=1 fully
+    def extract_many(self, items, *, depth: int = 2, device_batch: int = 1,
+                     prefetch_workers: int = 2):
+        """Pipelined bulk extraction: ``items`` yields (raw_bgr | loader,
+        image_id); decode/preprocess runs in a bounded thread pool and
+        ``depth`` device calls stay in flight so host decode, H2D staging
+        and device inference all overlap (jax dispatch is async; only the
+        final device_get blocks). The reference driver runs bs=1 fully
         synchronously (extract_features_vmb.py:229-244).
 
         device_batch>1 additionally runs that many images per device
@@ -189,10 +209,12 @@ class ExtractorX101:
         partial group pads with a repeat of its last image and drops the
         padding on output."""
         from collections import deque
+        from .extractor import prefetch_preprocessed
         q: deque = deque()
+        prepped = prefetch_preprocessed(self.preprocess, items,
+                                        prefetch_workers)
         if device_batch <= 1:
-            for raw_bgr, image_id in items:
-                img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
+            for image_id, img, (nh, nw), (rh, rw) in prepped:
                 out = self._jitted(self.params, img,
                                    jnp.asarray((nh, nw), jnp.int32))
                 q.append((image_id, out, nh, rh, rw))
@@ -212,8 +234,7 @@ class ExtractorX101:
             return n_real, group, out
 
         group = []
-        for raw_bgr, image_id in items:
-            img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
+        for image_id, img, (nh, nw), (rh, rw) in prepped:
             group.append((image_id, img, (nh, nw), (rh, rw)))
             if len(group) == device_batch:
                 q.append(flush(group))

@@ -75,6 +75,8 @@ class FinetuneRunner:
         # preemption handling (absent in the reference, SURVEY.md §5): on
         # SIGTERM/SIGINT finish the current step, checkpoint, then exit
         self._preempted = False
+        # test seam: called with the absolute step index after each dispatch
+        self._step_callback = None
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
                 signal.signal(sig, self._on_preempt)
@@ -184,16 +186,24 @@ class FinetuneRunner:
         from collections import deque
         rng = jax.random.key(self.seed * 1000 + epoch, impl="rbg")
         it = self.pipe.epoch(epoch, start_step=start_step)
-        # metric fetches lag the dispatch by 2 steps so the host never
-        # blocks on the step it just issued — device compute overlaps the
-        # next batch's assembly/transfer (the reference's loop is
-        # synchronous; its own input stage is its documented bottleneck)
+        # Metric fetches are deferred and drained in BULK every `log_every`
+        # steps (one device_get round trip per drain): on the tunneled chip
+        # each scalar fetch costs a full host<->device round trip, and
+        # per-step fetching alone cost ~15% of integrated throughput
+        # (docs/PERFORMANCE.md round-3 integrated numbers). The reference's
+        # loop is synchronous per step.
         inflight: deque = deque()
 
-        def drain(j, m):
-            self.logger.step_train(epoch, float(m["loss"]),
-                                   float(m["score"]), 0.0)
-            if log_every and (j + 1) % log_every == 0:
+        def drain_all():
+            if not inflight:
+                return
+            chunk = list(inflight)
+            inflight.clear()
+            fetched = jax.device_get([m for _, m in chunk])
+            for (j, _), m in zip(chunk, fetched):
+                self.logger.step_train(epoch, float(m["loss"]),
+                                       float(m["score"]), 0.0)
+            if log_every:
                 self.logger.show_train(epoch)
 
         t0 = None
@@ -207,8 +217,10 @@ class FinetuneRunner:
             else:
                 n_done += 1
             inflight.append((i, m))
-            if len(inflight) > 2:
-                drain(*inflight.popleft())
+            if self._step_callback is not None:
+                self._step_callback(i)
+            if len(inflight) >= (log_every or 20):
+                drain_all()
             if (self.eval_steps and (i + 1) % self.eval_steps == 0
                     and self.val_ds is not None):
                 self.evaluate(state.params, epoch)
@@ -229,8 +241,7 @@ class FinetuneRunner:
         if inflight:
             jax.block_until_ready(inflight[-1][1]["loss"])
         dt = time.time() - t0 if t0 is not None else 0.0
-        while inflight:
-            drain(*inflight.popleft())
+        drain_all()
         if n_done > 0 and dt > 0:
             # integrated sustained throughput: real pipeline feeding the
             # device, steady state (first/compile step excluded)

@@ -83,18 +83,16 @@ def _walk(tree, prefix=""):
 
 
 def _preempt_after(runner, n_steps):
-    """Flip the preemption flag after n_steps train steps (in lieu of a real
-    SIGTERM — the handler just sets the same flag)."""
-    orig = runner.logger.step_train
+    """Flip the preemption flag after n_steps train-step dispatches (in lieu
+    of a real SIGTERM — the handler just sets the same flag)."""
     count = {"n": 0}
 
-    def hook(*a, **kw):
-        orig(*a, **kw)
+    def hook(i):
         count["n"] += 1
         if count["n"] >= n_steps:
             runner._preempted = True
 
-    runner.logger.step_train = hook
+    runner._step_callback = hook
 
 
 @pytest.mark.parametrize("kill_at", [2, 6])    # epoch 0 step 2 / epoch 1 step 2
