@@ -83,6 +83,57 @@ def resume_state(ckpt_dir: str, like: TrainState) -> tuple[TrainState, dict]:
     return state, meta
 
 
+class AsyncSaver:
+    """Background checkpoint writer — keeps the (slow) device fetch + disk
+    write out of the training critical path.
+
+    The reference checkpoints synchronously every epoch
+    (train_utils.py:351-372), which on this environment's tunneled chip
+    costs minutes of D2H per save. Here a save first SNAPSHOTS the tree
+    with on-device copies (fast, and donation-safe: the live state's
+    buffers are donated to the next step, so a background thread must
+    never read them), then a daemon thread fetches and writes while
+    training continues. Saves are serialized: submitting while one is in
+    flight waits for it first; call wait() before process exit or a
+    synchronous (preemption) save.
+    """
+
+    def __init__(self):
+        import threading
+        self._threading = threading
+        self._thread = None
+
+    def _snapshot(self, tree: Any) -> Any:
+        import jax.numpy as jnp
+        return jax.tree.map(jnp.copy, tree)
+
+    def _submit(self, fn) -> None:
+        self.wait()
+        t = self._threading.Thread(target=fn, daemon=True)
+        t.start()
+        self._thread = t
+
+    def save_state(self, ckpt_dir: str, state: TrainState, *, epoch: int,
+                   best_score: float, extra: dict | None = None) -> None:
+        snap = self._snapshot(state)
+        self._submit(lambda: save_state(ckpt_dir, snap, epoch=epoch,
+                                        best_score=best_score, extra=extra))
+
+    def save_params(self, ckpt_dir: str, name: str, params: Any) -> None:
+        snap = self._snapshot(params)
+        self._submit(lambda: save_params(ckpt_dir, name, snap))
+
+    def export_torch_bin(self, path: str, params: Any,
+                         model: str = "uc2") -> None:
+        snap = self._snapshot(params)
+        self._submit(lambda: export_torch_bin(path, snap, model))
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 def export_torch_bin(path: str, params: Any, model: str = "uc2",
                      task_key: str = "TASK15") -> None:
     """Write a torch-loadable .bin with VOLTA parameter names so reference

@@ -37,7 +37,7 @@ class FinetuneRunner:
                  compute_dtype=jnp.bfloat16, seed: int = 0,
                  eval_batch_size: int | None = None,
                  eval_steps: int | None = None,
-                 train_bank=None):
+                 train_bank=None, async_ckpt: bool = True):
         self.fwd = model_forward
         self.cfg = cfg
         self.params0 = params0
@@ -62,6 +62,10 @@ class FinetuneRunner:
         self.train_bank = train_bank
         self._bank_tensors = train_bank.tensors() if train_bank is not None \
             else None
+        # end-of-epoch checkpoints go through a background writer so the
+        # device fetch + disk write overlap the next epoch's compute
+        # (ckpt.AsyncSaver; preemption saves stay synchronous)
+        self._saver = ckpt.AsyncSaver() if async_ckpt else None
         os.makedirs(output_dir, exist_ok=True)
         self.logger = MetricsLogger(output_dir, task_cfg.name)
         self._val_bank = None
@@ -231,6 +235,8 @@ class FinetuneRunner:
                 # function of (seed, epoch), so resume skips exactly the
                 # completed prefix and the final state is bit-identical to an
                 # uninterrupted run (tests/test_preemption_resume.py).
+                if self._saver is not None:
+                    self._saver.wait()
                 ckpt.save_state(self.out, state, epoch=epoch,
                                 best_score=best,
                                 extra={"logger": self.logger.state_dict(),
@@ -251,6 +257,24 @@ class FinetuneRunner:
                   f"= {qa:.0f} QA/s integrated")
         self.logger.show_train(epoch)
         return state
+
+    # -- checkpoint routing (async by default) ----------------------------
+
+    def _save_params(self, name, params):
+        if self._saver is not None:
+            self._saver.save_params(self.out, name, params)
+        else:
+            ckpt.save_params(self.out, name, params)
+
+    def _save_state(self, state, **kw):
+        if self._saver is not None:
+            self._saver.save_state(self.out, state, **kw)
+        else:
+            ckpt.save_state(self.out, state, **kw)
+
+    def _flush_saves(self):
+        if self._saver is not None:
+            self._saver.wait()
 
     # -- recipes ----------------------------------------------------------
 
@@ -291,9 +315,10 @@ class FinetuneRunner:
             score = self.evaluate(state.params, epoch)
             if score > best:
                 best = score
-                ckpt.save_params(self.out, "params_best", state.params)
-            ckpt.save_state(self.out, state, epoch=epoch, best_score=best,
-                            extra={"logger": self.logger.state_dict()})
+                self._save_params("params_best", state.params)
+            self._save_state(state, epoch=epoch, best_score=best,
+                             extra={"logger": self.logger.state_dict()})
+        self._flush_saves()
         return best
 
     def imp_prune(self, *, fraction: float = 0.1) -> dict:
@@ -355,9 +380,15 @@ class FinetuneRunner:
             score = self.evaluate(state.params, epoch)
             if score > best:
                 best = score
-                ckpt.save_params(self.out, "params_best", state.params)
-                ckpt.export_torch_bin(
-                    os.path.join(self.out, "model_best_sft.bin"),
-                    state.params, self.model_name)
-            ckpt.save_state(self.out, state, epoch=epoch, best_score=best)
+                self._save_params("params_best", state.params)
+                if self._saver is not None:
+                    self._saver.export_torch_bin(
+                        os.path.join(self.out, "model_best_sft.bin"),
+                        state.params, self.model_name)
+                else:
+                    ckpt.export_torch_bin(
+                        os.path.join(self.out, "model_best_sft.bin"),
+                        state.params, self.model_name)
+            self._save_state(state, epoch=epoch, best_score=best)
+        self._flush_saves()
         return best

@@ -207,3 +207,28 @@ def test_export_torch_bin(tiny, tmp_path):
     np.testing.assert_allclose(
         sd["bert.t_pooler.dense.weight"].numpy().T,
         np.asarray(params["pooler"]["w"]))
+
+
+def test_async_saver_roundtrip(tmp_path):
+    """AsyncSaver writes the same checkpoint as the sync path, snapshots
+    before returning (later state mutations can't corrupt it), and
+    serializes queued saves."""
+    from clg_vqa_tpu.train import checkpoints as ckpt
+    from clg_vqa_tpu.train.loop import TrainState
+    import jax.numpy as jnp
+    d = str(tmp_path / "async")
+    params = {"w": jnp.arange(8.0), "encoder": {"q": jnp.ones((2, 3))}}
+    state = TrainState(params, {"mu": jax.tree.map(jnp.zeros_like, params)},
+                       jnp.zeros((), jnp.int32))
+    saver = ckpt.AsyncSaver()
+    saver.save_state(d, state, epoch=0, best_score=0.5)
+    saver.save_params(d, "params_best", params)    # queued behind the first
+    saver.wait()
+    like = TrainState(params, {"mu": jax.tree.map(jnp.zeros_like, params)},
+                      jnp.zeros((), jnp.int32))
+    restored, meta = ckpt.resume_state(d, like)
+    assert meta["epoch"] == 0 and meta["best_score"] == 0.5
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.arange(8.0))
+    best = ckpt.load_params(d, "params_best")
+    np.testing.assert_array_equal(np.asarray(best["w"]), np.arange(8.0))
