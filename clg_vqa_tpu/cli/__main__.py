@@ -73,7 +73,7 @@ def _train_like(args, mode: str):
         optim_cfg=optim_cfg, output_dir=args.output_dir,
         model_name="m3p" if args.is_m3p else "uc2",
         compute_dtype=None if args.fp32 else jnp.bfloat16, seed=args.seed,
-        train_bank=train_bank)
+        train_bank=train_bank, save_every=getattr(args, "save_every", 1))
 
     if mode == "train":
         best = runner.finetune(resume=args.resume)

@@ -54,6 +54,9 @@ def add_train_args(p: argparse.ArgumentParser):
                    help="initialize the classifier output from answer word "
                         "embeddings (train_task.py:218-238)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--save_every", type=int, default=1,
+                   help="state_latest checkpoint cadence in epochs (final "
+                        "epoch always saved; 1 = reference parity)")
     p.add_argument("--no_train_bank", action="store_true",
                    help="stream features host->device per batch instead of "
                         "parking the train store in HBM")

@@ -36,10 +36,26 @@ def _stacked(params: Any) -> Any:
     return restack_layer_tree(params) if isinstance(params, dict) else params
 
 
+def _fetch(tree: Any) -> Any:
+    """One explicit device->host pass BEFORE orbax sees the tree: keeps the
+    (slow, occasionally flaky on a tunneled chip) transfer separate from
+    orbax's own async machinery and makes save latency attributable."""
+    import sys
+    import time
+    t0 = time.time()
+    host = jax.tree.map(np.asarray, tree)
+    dt = time.time() - t0
+    if dt > 5.0:
+        nb = sum(a.nbytes for a in jax.tree.leaves(host)) / 1e9
+        print(f"[ckpt] fetched {nb:.2f} GB in {dt:.0f}s "
+              f"({nb * 1e3 / max(dt, 1e-9):.0f} MB/s)", file=sys.stderr)
+    return host
+
+
 def save_params(ckpt_dir: str, name: str, params: Any) -> None:
     os.makedirs(ckpt_dir, exist_ok=True)
     with ocp.PyTreeCheckpointer() as c:
-        c.save(_path(ckpt_dir, name), _stacked(params), force=True)
+        c.save(_path(ckpt_dir, name), _fetch(_stacked(params)), force=True)
 
 
 def load_params(ckpt_dir: str, name: str, like: Any | None = None) -> Any:
@@ -54,10 +70,10 @@ def save_state(ckpt_dir: str, state: TrainState, *, epoch: int,
                best_score: float, extra: dict | None = None) -> None:
     os.makedirs(ckpt_dir, exist_ok=True)
     state = stacked_state(state)      # on-disk layout is always stacked
+    host = _fetch({"params": state.params, "opt_state": state.opt_state,
+                   "step": state.step})
     with ocp.PyTreeCheckpointer() as c:
-        c.save(_path(ckpt_dir, "state_latest"),
-               {"params": state.params, "opt_state": state.opt_state,
-                "step": state.step}, force=True)
+        c.save(_path(ckpt_dir, "state_latest"), host, force=True)
     meta = {"epoch": epoch, "best_score": best_score,
             "step": int(state.step), **(extra or {})}
     with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:

@@ -37,7 +37,8 @@ class FinetuneRunner:
                  compute_dtype=jnp.bfloat16, seed: int = 0,
                  eval_batch_size: int | None = None,
                  eval_steps: int | None = None,
-                 train_bank=None, async_ckpt: bool = True):
+                 train_bank=None, async_ckpt: bool = True,
+                 save_every: int = 1):
         self.fwd = model_forward
         self.cfg = cfg
         self.params0 = params0
@@ -66,6 +67,12 @@ class FinetuneRunner:
         # device fetch + disk write overlap the next epoch's compute
         # (ckpt.AsyncSaver; preemption saves stay synchronous)
         self._saver = ckpt.AsyncSaver() if async_ckpt else None
+        # resume-checkpoint cadence (state_latest): every N epochs + always
+        # the final epoch. 1 == reference parity (train_utils.py:351); larger
+        # values trade crash-resume granularity for epoch wall time where
+        # the full-state fetch is expensive (tunneled single-chip dev envs).
+        # best-params saves and preemption saves are unaffected.
+        self.save_every = max(int(save_every), 1)
         os.makedirs(output_dir, exist_ok=True)
         self.logger = MetricsLogger(output_dir, task_cfg.name)
         self._val_bank = None
@@ -316,8 +323,10 @@ class FinetuneRunner:
             if score > best:
                 best = score
                 self._save_params("params_best", state.params)
-            self._save_state(state, epoch=epoch, best_score=best,
-                             extra={"logger": self.logger.state_dict()})
+            if ((epoch + 1) % self.save_every == 0
+                    or epoch == self.task_cfg.num_epoch - 1):
+                self._save_state(state, epoch=epoch, best_score=best,
+                                 extra={"logger": self.logger.state_dict()})
         self._flush_saves()
         return best
 
@@ -389,6 +398,8 @@ class FinetuneRunner:
                     ckpt.export_torch_bin(
                         os.path.join(self.out, "model_best_sft.bin"),
                         state.params, self.model_name)
-            self._save_state(state, epoch=epoch, best_score=best)
+            if ((epoch + 1) % self.save_every == 0
+                    or epoch == self.task_cfg.num_epoch - 1):
+                self._save_state(state, epoch=epoch, best_score=best)
         self._flush_saves()
         return best
