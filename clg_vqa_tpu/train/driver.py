@@ -220,8 +220,10 @@ class FinetuneRunner:
         t0 = None
         n_done = 0
         for i, batch in enumerate(it, start=start_step):
-            state, m = step_fn(state, batch, jax.random.fold_in(rng, i),
-                               self._bank_tensors, grad_mask)
+            # absolute step index rides the call as an int32 scalar; the
+            # fold_in happens inside the program (see loop.make_train_step)
+            state, m = step_fn(state, batch, rng,
+                               self._bank_tensors, grad_mask, np.int32(i))
             if t0 is None:
                 jax.block_until_ready(m["loss"])   # first step = compile
                 t0 = time.time()

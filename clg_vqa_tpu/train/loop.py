@@ -179,7 +179,14 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(state: TrainState, batch, rng, bank=None,
-                   grad_mask_rt=None):
+                   grad_mask_rt=None, step_index=None):
+        # step_index (int32 scalar arg): fold the per-step dropout key
+        # INSIDE the program. The host-side eager fold_in alternative costs
+        # a separate device dispatch per step — a full round trip on a
+        # tunneled chip (~15% of integrated throughput, measured in the
+        # full-scale rehearsal).
+        if step_index is not None:
+            rng = jax.random.fold_in(rng, step_index)
         acc = jax.tree.leaves(batch)[0].shape[0]
         rngs = jax.random.split(rng, acc) if use_dropout else None
 
