@@ -47,6 +47,8 @@ class MetricsLogger:
                                  if qa_per_sec else {})})
 
     def show_train(self, epoch: int) -> str:
+        if self._tr["n"] == 0:      # nothing accumulated since last show
+            return ""
         n = max(self._tr["n"], 1)
         msg = (f"[{self.task}] epoch {epoch} step {self.global_step} "
                f"loss {self._tr['loss']/n:.4f} score {self._tr['score']/n:.4f} "
