@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--detector", choices=("c4", "x101"), default="x101")
     ap.add_argument("--n", type=int, default=14)
     ap.add_argument("--device-batch", type=int, nargs="+", default=[1, 2])
+    ap.add_argument("--workers", type=int, default=2,
+                    help="prefetch/decode pool size; 0 = inline")
     args = ap.parse_args()
 
     import jax
@@ -41,11 +43,13 @@ def main():
     imgs = [((r.rand(600, 1000, 3) * 255).astype(np.uint8), f"i{k}")
             for k in range(args.n)]
     for db in args.device_batch:
-        list(ex.extract_many(iter(imgs[:2 * db]), device_batch=db))  # warmup
+        list(ex.extract_many(iter(imgs[:2 * db]), device_batch=db,
+                              prefetch_workers=args.workers))  # warmup
         t0 = time.time()
-        out = list(ex.extract_many(iter(imgs), device_batch=db))
+        out = list(ex.extract_many(iter(imgs), device_batch=db,
+                                   prefetch_workers=args.workers))
         dt = time.time() - t0
-        print(f"{args.detector} device_batch={db}: {len(out)} imgs in "
+        print(f"{args.detector} device_batch={db} workers={args.workers}: {len(out)} imgs in "
               f"{dt:.2f}s -> {len(out)/dt:.2f} img/s "
               f"({1000*dt/len(out):.0f} ms/img)")
 
