@@ -17,13 +17,18 @@ import numpy as np
 
 
 def make_predict_step(forward: Callable, cfg, *, device_bank=None,
-                      compute_dtype=jnp.bfloat16) -> Callable:
+                      compute_dtype=jnp.bfloat16,
+                      fused_attn: bool = False) -> Callable:
     """Jitted (params, batch) -> argmax predictions. Build ONCE and reuse
     across run_eval calls so compilation is paid a single time.
 
     Bank tensors are threaded as jit ARGUMENTS (not closure constants): a
     closed-over bank is embedded in the program and shipped with every
-    remote-compile request — HTTP 413 at X101 bank sizes (328 MB)."""
+    remote-compile request — HTTP 413 at X101 bank sizes (328 MB).
+
+    fused_attn: route attention through the Pallas VMEM kernel — wins at
+    eval batch sizes (bs>=512) where the [B,H,S,S] probs otherwise ride HBM
+    (docs/PERFORMANCE.md eval profile); keep off for small serving batches."""
 
     @jax.jit
     def step(params, batch, bank):
@@ -32,8 +37,9 @@ def make_predict_step(forward: Callable, cfg, *, device_bank=None,
             f, l, m = DeviceFeatureBank.gather_from(
                 bank, batch.pop("store_idx"))
             batch = {**batch, "features": f, "locs": l, "image_mask": m}
+        kw = {"fused_attn": True} if fused_attn else {}
         logits = forward(params, cfg, batch, deterministic=True,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype, **kw)
         return jnp.argmax(logits, axis=-1)
 
     bank = device_bank.tensors() if device_bank is not None else None
@@ -42,7 +48,8 @@ def make_predict_step(forward: Callable, cfg, *, device_bank=None,
 
 def shard_predict_step(forward: Callable, cfg, mesh, params_example,
                        batch_example, *, device_bank=None,
-                       compute_dtype=jnp.bfloat16) -> Callable:
+                       compute_dtype=jnp.bfloat16,
+                       fused_attn: bool = False) -> Callable:
     """Multi-chip make_predict_step: batch sharded over the mesh's dp axis,
     params laid out with the Megatron mp pspecs (parallel/mesh.py), so the
     same jitted step serves/evaluates across a pod slice. The reference's
@@ -61,8 +68,9 @@ def shard_predict_step(forward: Callable, cfg, mesh, params_example,
             f, l, m = DeviceFeatureBank.gather_from(
                 bank, batch.pop("store_idx"))
             batch = {**batch, "features": f, "locs": l, "image_mask": m}
+        kw = {"fused_attn": True} if fused_attn else {}
         logits = forward(params, cfg, batch, deterministic=True,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype, **kw)
         return jnp.argmax(logits, axis=-1)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -81,7 +89,8 @@ def run_eval(forward: Callable, params, cfg, dataset, label2ans: list, *,
              batch_size: int = 256, compute_dtype=jnp.bfloat16,
              out_path: str | None = None, split: str = "test",
              log_every: int = 0, device_bank=None, depth: int = 2,
-             step: Callable | None = None) -> dict:
+             step: Callable | None = None,
+             fused_attn: bool | None = None) -> dict:
     """Returns {"results": [...], "n": int, "qa_per_sec": float,
     "accuracy": float | None (if the dataset has labels)}.
 
@@ -89,14 +98,21 @@ def run_eval(forward: Callable, params, cfg, dataset, label2ans: list, *,
     then gathered on device by index (no per-batch feature upload).
     step: optional prebuilt make_predict_step result (reuse avoids
     re-jitting across splits/languages).
+    fused_attn: None = auto (Pallas attention for bf16 eval at bs>=512,
+    where it measures +30% on M3P — docs/PERFORMANCE.md; XLA otherwise,
+    incl. fp32 parity mode).
 
     Pipelined: jax dispatch is async, so up to ``depth`` batches stay in
     flight and host batch assembly (tokenize/gather) overlaps device
     compute; only the prediction fetch of the oldest batch blocks. The
     reference eval loop is fully synchronous (eval_task.py:183-201)."""
     if step is None:
+        if fused_attn is None:
+            fused_attn = (compute_dtype is not None and batch_size >= 512
+                          and jax.default_backend() == "tpu")
         step = make_predict_step(forward, cfg, device_bank=device_bank,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 fused_attn=fused_attn)
 
     results = []
     n_total = 0

@@ -89,6 +89,7 @@ def multi_head_attention(
     deterministic: bool = True,
     compute_dtype=None,
     scale_query: bool = False,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Standard MHA. ``attn_bias`` is additive, broadcastable to
     [B, H, Sq, Skv].
@@ -96,10 +97,29 @@ def multi_head_attention(
     scale_query=False: scores / sqrt(d) after QK^T (UC2, encoders.py:266).
     scale_query=True: q / sqrt(d) before QK^T (M3P, m3p_transformer.py:196).
     The two differ only in fp rounding; both are kept for bit-parity tests.
+
+    fused: route the score/softmax/PV core through the Pallas VMEM kernel
+    (ops/attention.py) — scores never touch HBM. Inference-only (requires
+    self-attention, no attention dropout, key-side bias [B, 1, 1, S]); the
+    kernel post-scales QK^T in fp32 regardless of scale_query (same numeric
+    family, bf16-argmax-identical — see docs/PERFORMANCE.md eval profile).
+    Wins at large B*S^2 (M3P eval bs1024: 15 vs 25 ms/call); the XLA path
+    stays default for training and small batches.
     """
     B, Sq, D = x_q.shape
     Skv = x_kv.shape[1]
     hd = D // num_heads
+
+    if fused and (deterministic or dropout_rate == 0.0):
+        from ..ops.attention import fused_attention
+        if Sq != Skv or x_q is not x_kv and x_q.shape != x_kv.shape:
+            raise ValueError("fused attention requires self-attention")
+        q = linear(x_q, p["q"], compute_dtype)
+        k = linear(x_kv, p["k"], compute_dtype)
+        v = linear(x_kv, p["v"], compute_dtype)
+        bias4 = jnp.broadcast_to(attn_bias, (B, 1, 1, Skv))
+        ctx = fused_attention(q, k, v, bias4, num_heads)
+        return linear(ctx, p["o"], compute_dtype)
 
     # NOTE: a fused [D, 3D] qkv projection was tried and measured slower on
     # v5e at these shapes (the trace-time weight concat costs ~85MB/step of

@@ -80,7 +80,8 @@ def init_params(rng: jax.Array, cfg: M3PConfig) -> Params:
 
 def encode(params: Params, cfg: M3PConfig, batch: dict, *,
            deterministic: bool = True, rng=None, compute_dtype=None,
-           remat: bool = False, unroll: bool = False):
+           remat: bool = False, unroll: bool = False,
+           fused_attn: bool = False):
     """jointfwd (m3p_transformer.py:877-964). Returns (sequence, pooled).
 
     unroll: static 12-block program for the training path (see uc2.encode)."""
@@ -130,7 +131,7 @@ def encode(params: Params, cfg: M3PConfig, batch: dict, *,
             dropout_rate=cfg.attention_dropout,
             rng=None if deterministic else jax.random.fold_in(krng, 0),
             deterministic=deterministic, compute_dtype=compute_dtype,
-            scale_query=True)
+            scale_query=True, fused=fused_attn)
         attn = L.dropout(attn, cfg.dropout,
                          None if deterministic else jax.random.fold_in(krng, 1),
                          deterministic)
@@ -156,12 +157,12 @@ def encode(params: Params, cfg: M3PConfig, batch: dict, *,
 def forward(params: Params, cfg: M3PConfig, batch: dict, *,
             deterministic: bool = True, rng=None,
             compute_dtype=None, remat: bool = False,
-            unroll: bool = False) -> jnp.ndarray:
+            unroll: bool = False, fused_attn: bool = False) -> jnp.ndarray:
     """M3PForVLTasks.forward for VL-classifier-GQA (encoders.py:1315-1352)."""
     _, pooled = encode(params, cfg, batch, deterministic=deterministic,
                        rng=None if rng is None else jax.random.fold_in(rng, 2),
                        compute_dtype=compute_dtype, remat=remat,
-                       unroll=unroll)
+                       unroll=unroll, fused_attn=fused_attn)
     pooled = L.dropout(
         pooled, cfg.clf_dropout_prob,
         None if rng is None else jax.random.fold_in(rng, 3), deterministic)

@@ -128,7 +128,8 @@ def embed(params: Params, cfg: UC2Config, input_ids, features, locs,
 
 def encode(params: Params, cfg: UC2Config, batch: dict, *,
            deterministic: bool = True, rng=None, compute_dtype=None,
-           remat: bool = False, unroll: bool = False):
+           remat: bool = False, unroll: bool = False,
+           fused_attn: bool = False):
     """Run embeddings + the collapsed 12-block joint encoder.
 
     Returns (joint_sequence [B, T+R, H], pooled [B, pooler_size]).
@@ -165,7 +166,8 @@ def encode(params: Params, cfg: UC2Config, batch: dict, *,
             h, h, p["attn"], cfg.num_heads, bias,
             dropout_rate=cfg.attention_probs_dropout_prob,
             rng=None if deterministic else jax.random.fold_in(krng, 0),
-            deterministic=deterministic, compute_dtype=compute_dtype)
+            deterministic=deterministic, compute_dtype=compute_dtype,
+            fused=fused_attn)
         attn = L.dropout(attn, cfg.hidden_dropout_prob,
                          None if deterministic else jax.random.fold_in(krng, 1),
                          deterministic)
@@ -204,14 +206,14 @@ def encode(params: Params, cfg: UC2Config, batch: dict, *,
 def forward(params: Params, cfg: UC2Config, batch: dict, *,
             deterministic: bool = True, rng=None,
             compute_dtype=None, remat: bool = False,
-            unroll: bool = False) -> jnp.ndarray:
+            unroll: bool = False, fused_attn: bool = False) -> jnp.ndarray:
     """BertForVLTasks.forward for the VL-classifier-GQA head
     (volta/volta/encoders.py:1202-1259): fusion_method="text" -> dropout on
     pooled text, SimpleClassifier logits."""
     _, pooled = encode(params, cfg, batch, deterministic=deterministic,
                        rng=None if rng is None else jax.random.fold_in(rng, 2),
                        compute_dtype=compute_dtype, remat=remat,
-                       unroll=unroll)
+                       unroll=unroll, fused_attn=fused_attn)
     pooled = L.dropout(
         pooled, cfg.clf_dropout_prob,
         None if rng is None else jax.random.fold_in(rng, 3), deterministic)

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--no-bank", action="store_true")
     ap.add_argument("--m3p", action="store_true",
                     help="M3P at the X101 recipe (100 regions, num_locs 5)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="disable the Pallas fused-attention eval path")
     args = ap.parse_args()
 
     import jax
@@ -79,7 +81,11 @@ def main():
             norm_embeddings=getattr(cfg, "norm_embeddings", False))
         print(f"bank: {bank.nbytes/1e6:.0f} MB on device", file=sys.stderr)
 
-    step = make_predict_step(mod.forward, cfg, device_bank=bank)
+    import jax as _jax
+    fused = (not args.no_fused and args.bs >= 512
+             and _jax.default_backend() == "tpu")
+    step = make_predict_step(mod.forward, cfg, device_bank=bank,
+                             fused_attn=fused)
     # warmup (compile)
     run_eval(mod.forward, params, cfg, ds, label2ans,
              batch_size=args.bs, device_bank=bank, step=step)
@@ -88,7 +94,8 @@ def main():
                    batch_size=args.bs, device_bank=bank, step=step)
     dt = time.time() - t0
     print(f"eval: {res['n']} QA in {dt:.2f}s -> {res['n']/dt:.0f} QA/s "
-          f"(bank={'on' if bank else 'off'}, bs={args.bs})")
+          f"(bank={'on' if bank else 'off'}, bs={args.bs}, "
+          f"fused={'on' if fused else 'off'})")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,123 @@
+"""XProf capture + breakdown of the eval predict step (UC2 or M3P) with a
+device-resident feature bank at the full recipe scale — answers "where do
+the ms/batch go" for the eval loop (reference flow: eval_task.py:96-213).
+
+Times three things at bs N:
+ - the full predict step (bank gather + forward + argmax), chained
+   (each call's preds fetched) — what run_eval pays per batch;
+ - the bank gather alone (jitted separately) — isolates the
+   [bs, R, 2048] HBM gather cost at R=36 vs 100;
+ - an XProf trace of the full step with the top device ops by self-time.
+
+Usage: python tools/profile_eval.py [--m3p] [--bs N] [--steps N]
+"""
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from profile_train import top_ops_from_trace
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m3p", action="store_true")
+    ap.add_argument("--bs", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--n-images", type=int, default=400)
+    ap.add_argument("--out", default="/tmp/xprof_eval")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from clg_vqa_tpu.data.device_bank import DeviceFeatureBank
+
+    r = np.random.RandomState(0)
+    if args.m3p:
+        from clg_vqa_tpu.config import M3PConfig
+        from clg_vqa_tpu.models import m3p as mod
+        cfg, R, nl = M3PConfig(), 100, 5
+    else:
+        from clg_vqa_tpu.config import UC2Config
+        from clg_vqa_tpu.models import uc2 as mod
+        cfg, R, nl = UC2Config(), 36, 7
+    T = 40
+
+    params = mod.init_params(jax.random.key(0), cfg)
+    bank = (jnp.asarray(r.randn(args.n_images, R, 2048), jnp.float32),
+            jnp.asarray(r.rand(args.n_images, R, nl), jnp.float32),
+            jnp.ones((args.n_images, R), jnp.int32))
+    print(f"bank: {sum(int(b.nbytes) for b in bank)/1e6:.0f} MB",
+          file=sys.stderr)
+
+    @jax.jit
+    def step(params, batch, bank):
+        f, l, m = DeviceFeatureBank.gather_from(bank, batch.pop("store_idx"))
+        batch = {**batch, "features": f, "locs": l, "image_mask": m}
+        logits = mod.forward(params, cfg, batch, deterministic=True,
+                             compute_dtype=jnp.bfloat16)
+        return jnp.argmax(logits, axis=-1)
+
+    @jax.jit
+    def gather_only(bank, idx):
+        f, l, m = DeviceFeatureBank.gather_from(bank, idx)
+        # consume so nothing is dead-code-eliminated; sum forces the reads
+        return f.sum() + l.sum() + m.sum()
+
+    bs = args.bs
+    batch = {
+        "input_ids": jnp.asarray(r.randint(3, cfg.vocab_size, (bs, T)),
+                                 jnp.int32),
+        "input_mask": jnp.ones((bs, T), jnp.int32),
+        "store_idx": jnp.asarray(r.randint(0, args.n_images, (bs,)),
+                                 jnp.int32),
+    }
+
+    # warmup/compile, then chained timing with fetched preds (the tunnel
+    # runtime skips unconsumed work — see docs/PERFORMANCE.md methodology)
+    p = np.asarray(step(params, dict(batch), bank))
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        p = np.asarray(step(params, dict(batch), bank))
+    dt = (time.perf_counter() - t0) / args.steps
+    print(f"full step: {dt*1e3:.1f} ms/batch -> {bs/dt:.0f} QA/s "
+          f"(bs={bs}, R={R}, fetched)")
+
+    g = float(gather_only(bank, batch["store_idx"]))
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        g = float(gather_only(bank, batch["store_idx"]))
+    dt_g = (time.perf_counter() - t0) / args.steps
+    print(f"bank gather only: {dt_g*1e3:.2f} ms/batch "
+          f"({bs*R*2048*4/1e6:.0f} MB feature read)")
+
+    jax.profiler.start_trace(args.out)
+    for _ in range(args.steps):
+        p = np.asarray(step(params, dict(batch), bank))
+    jax.profiler.stop_trace()
+    del p, g
+
+    try:
+        res = top_ops_from_trace(args.out)
+    except Exception as e:
+        print(f"xplane parse failed ({e}); trace left at {args.out}",
+              file=sys.stderr)
+        return
+    if res is None:
+        print(f"no trace found under {args.out}", file=sys.stderr)
+        return
+    rows, total = res
+    print(f"total device op time {total/args.steps:.1f} ms/batch")
+    for name, ms, pct in rows:
+        print(f"{ms/args.steps:9.3f} ms {pct:5.1f}%  {name[:100]}")
+
+
+if __name__ == "__main__":
+    main()
