@@ -55,12 +55,64 @@ def linear(x: jnp.ndarray, p: Params, compute_dtype=None) -> jnp.ndarray:
     return y if compute_dtype is None else y.astype(compute_dtype)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _softmax_save_lp(scores: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    return jax.nn.softmax(scores.astype(jnp.float32), -1).astype(out_dtype)
+
+
+def _softmax_save_lp_fwd(scores, out_dtype):
+    p = _softmax_save_lp(scores, out_dtype)
+    return p, p
+
+
+def _softmax_save_lp_bwd(out_dtype, p, dp):
+    p32, dp32 = p.astype(jnp.float32), dp.astype(jnp.float32)
+    ds = p32 * (dp32 - jnp.sum(p32 * dp32, axis=-1, keepdims=True))
+    return (ds,)
+
+
+_softmax_save_lp.defvjp(_softmax_save_lp_fwd, _softmax_save_lp_bwd)
+
+
+def softmax_lowp(scores: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """fp32 softmax whose LOW-PRECISION output is what the backward saves.
+
+    The plain formulation keeps the f32 probs live for the backward: at
+    M3P train scale that is a [mbs, 12, 140, 140] f32 tensor per block
+    whose save + relayout copy alone measures ~12 ms/step (XProf,
+    docs/PERFORMANCE.md). Saving the bf16 probs instead halves the
+    residual traffic and lets the f32 tensor die inside the softmax
+    fusion. The backward recomputes ds = p*(dp - sum(p*dp)) in fp32 from
+    the bf16 probs — the same residual precision apex amp O1 training
+    (the reference's setup, train_task.py fp16 path) keeps for attention
+    probs."""
+    return _softmax_save_lp(scores, out_dtype)
+
+
 def dropout(x: jnp.ndarray, rate: float, rng, deterministic: bool) -> jnp.ndarray:
+    """Inverted dropout from 8-bit random bits.
+
+    The default bernoulli path generates u32 bits per element; at M3P
+    train scale the mask tensors ([mbs,12,140,140] per attention layer +
+    [mbs,140,768] per hidden dropout) cost ~18 ms/step in rng-bit-generator
+    time plus relayout copies into the consumer fusion's layout (XProf,
+    docs/PERFORMANCE.md round 3). u8 bits lower to a native u8
+    rng_bit_generator, quartering both. The keep threshold quantizes to
+    t/256 and the rescale divides by the ACTUAL keep probability t/256,
+    so E[dropout(x)] == x exactly; the realized keep rate differs from
+    1-rate by < 1/512 (e.g. 0.8984 vs 0.9 at rate 0.1), statistically
+    immaterial for dropout regularization."""
     if deterministic or rate == 0.0:
         return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0)
+    t = int(round((1.0 - rate) * 256.0))
+    if t >= 256:        # rate below u8 granularity (< 1/512): keep all
+        return x
+    t = max(t, 1)
+    bits = jax.random.bits(rng, x.shape, jnp.uint8)
+    return jnp.where(bits < t, x * (256.0 / t), 0.0)
 
 
 def create_position_ids_from_input_ids(input_ids: jnp.ndarray,
@@ -143,12 +195,18 @@ def multi_head_attention(
     if not scale_query:
         scores = scores * scale
     scores = scores + attn_bias
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    if not deterministic and dropout_rate > 0.0:
-        probs = dropout(probs, dropout_rate, rng, deterministic)
     if compute_dtype is not None:
-        probs = probs.astype(compute_dtype)
+        # fp32 softmax, low-precision probs saved for the backward
+        # (softmax_lowp): forward value identical to softmax-then-cast,
+        # backward reads bf16 probs like the reference's amp training.
+        probs = softmax_lowp(scores, compute_dtype)
+        if not deterministic and dropout_rate > 0.0:
+            probs = dropout(probs, dropout_rate, rng, deterministic)
         v = v.astype(compute_dtype)
+    else:
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        if not deterministic and dropout_rate > 0.0:
+            probs = dropout(probs, dropout_rate, rng, deterministic)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                      preferred_element_type=jnp.float32)
     ctx = ctx.reshape(B, Sq, D)

@@ -254,14 +254,19 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
 
 
 def make_eval_step(model_forward: Callable, cfg, *,
-                   compute_dtype=jnp.bfloat16) -> Callable:
+                   compute_dtype=jnp.bfloat16,
+                   fused_attn: bool = False) -> Callable:
     """ForwardModelsVal for VL-classifier-GQA (task_utils.py:265-269):
     loss = num_labels * CE, score = #correct (weights by mask for padded
-    tail batches)."""
+    tail batches).
+
+    fused_attn: Pallas attention for the validation forward — same
+    trade-off as eval/runner.make_predict_step (wins at bs>=512 on TPU)."""
 
     def eval_step(params, batch):
+        kw = {"fused_attn": True} if fused_attn else {}
         logits = model_forward(params, cfg, batch, deterministic=True,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype, **kw)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         ce = -jnp.take_along_axis(logp, batch["labels"][:, None], -1)[:, 0]
         valid = batch.get("valid",
