@@ -142,6 +142,11 @@ def cmd_extract(args):
             return ckpt.load_params(os.path.dirname(path) or ".",
                                     os.path.basename(path))
         if path.endswith(".pkl"):
+            if kind != "c4":
+                raise ValueError(
+                    "caffe .pkl checkpoints are the VG R101-C4 format; "
+                    "--detector x101 loads the vqa-maskrcnn-benchmark "
+                    ".pth file")
             import pickle
             with open(path, "rb") as f:
                 raw = pickle.load(f, encoding="latin1")
@@ -176,36 +181,43 @@ def cmd_extract(args):
     def gen():
         # lazy loaders: the PIL decode runs inside extract_many's prefetch
         # workers, overlapped with device inference
-        n = 0
         for p in paths:
             yield ((lambda p=p: _load_image_bgr(p)),
                    os.path.splitext(os.path.basename(p))[0])
-            n += 1
-            if args.limit and n >= args.limit:
-                return
 
     kw = {}
     if getattr(args, "device_batch", 1) > 1:
         kw["device_batch"] = args.device_batch
     n = 0
     with CfsWriter(args.out) as w:
-        # pipelined: host decode/preprocess overlaps device inference
+        # pipelined: host decode/preprocess overlaps device inference.
+        # --limit counts EXTRACTED records (undecodable files are skipped
+        # downstream and must not consume limit slots)
         for rec in ex.extract_many(gen(), **kw):
             w.add(rec)
             n += 1
+            if args.limit and n >= args.limit:
+                break
     print(f"extracted {n} images -> {args.out}")
 
 
 def _load_image_bgr(path):
-    """BGR uint8 image (cv2.imread parity). PIL loads RGB; flip."""
+    """BGR uint8 image (cv2.imread parity: None for anything that does
+    not decode — corrupt jpgs, stray non-image files). PIL loads RGB;
+    flip."""
     import numpy as np
+    if path.endswith(".npy"):
+        try:
+            return np.load(path)
+        except Exception:
+            return None
     try:
         from PIL import Image
         img = np.asarray(Image.open(path).convert("RGB"))
         return img[:, :, ::-1]
     except ImportError:
-        if path.endswith(".npy"):
-            return np.load(path)
+        return None
+    except Exception:
         return None
 
 

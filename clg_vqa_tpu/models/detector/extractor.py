@@ -144,6 +144,9 @@ class Extractor36:
             fh, fw, stride=c.stride))
         self._fh, self._fw = fh, fw
         self._jitted = jax.jit(self._pipeline)
+        import threading
+        self._pre_cache = {}
+        self._pre_lock = threading.Lock()
         # device-batched variant (see extract_many): pure per-image pipeline
         # under vmap — backbone/res5 convs become real batched convs
         self._jitted_batch = jax.jit(jax.vmap(self._pipeline,
@@ -227,22 +230,27 @@ class Extractor36:
         each paying the remote-dispatch round trip on the tunneled chip —
         and compiled per shape anyway (eager ops cache per shape too), so
         fusing them into one cached program is strictly fewer dispatches."""
-        cache = getattr(self, "_pre_cache", None)
-        if cache is None:
-            cache = self._pre_cache = {}
+        cache = self._pre_cache
         key = (rh, rw, np.dtype(dtype).str)
         if key not in cache:
-            c = self.cfg
-            nh, nw = resize_shortest_edge(rh, rw, c.short, c.max_size)
+            # single-flight under the prefetch pool: without the lock two
+            # workers hitting the same fresh shape would build two jit
+            # instances and pay the (minutes-long) remote compile twice
+            with self._pre_lock:
+                if key not in cache:
+                    c = self.cfg
+                    nh, nw = resize_shortest_edge(rh, rw, c.short,
+                                                  c.max_size)
 
-            def f(raw):
-                img = raw.astype(jnp.float32)
-                img = jax.image.resize(img, (nh, nw, 3), method="linear")
-                img = img - jnp.asarray(PIXEL_MEAN_BGR)
-                pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
-                return pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w])
+                    def f(raw):
+                        img = raw.astype(jnp.float32)
+                        img = jax.image.resize(img, (nh, nw, 3),
+                                               method="linear")
+                        img = img - jnp.asarray(PIXEL_MEAN_BGR)
+                        pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
+                        return pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w])
 
-            cache[key] = (jax.jit(f), (nh, nw))
+                    cache[key] = (jax.jit(f), (nh, nw))
         return cache[key]
 
     def preprocess(self, raw_bgr: np.ndarray):

@@ -80,6 +80,9 @@ class ExtractorX101:
         # top-k / RoIAlign stages vectorize over the leading axis
         self._jitted_batch = jax.jit(jax.vmap(self._pipeline,
                                               in_axes=(None, 0, 0)))
+        import threading
+        self._pre_cache = {}
+        self._pre_lock = threading.Lock()
 
     def _pipeline(self, params, image, valid_hw):
         c = self.cfg
@@ -155,24 +158,28 @@ class ExtractorX101:
         Extractor36._preprocess_prog: the eager chain paid ~5 remote
         dispatches per image and compiled per shape anyway)."""
         from .extractor import PIXEL_MEAN_BGR, resize_shortest_edge
-        cache = getattr(self, "_pre_cache", None)
-        if cache is None:
-            cache = self._pre_cache = {}
+        cache = self._pre_cache
         key = (rh, rw, np.dtype(dtype).str)
         if key not in cache:
-            c = self.cfg
-            nh, nw = resize_shortest_edge(rh, rw, c.short, c.max_size)
+            # single-flight under the prefetch pool (see
+            # Extractor36._preprocess_prog)
+            with self._pre_lock:
+                if key not in cache:
+                    c = self.cfg
+                    nh, nw = resize_shortest_edge(rh, rw, c.short,
+                                                  c.max_size)
 
-            def f(raw):
-                # BGR->RGB flip BEFORE subtracting the BGR means, then
-                # resize — the reference's quirk order
-                img = raw[:, :, ::-1].astype(jnp.float32)
-                img = img - jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
-                img = jax.image.resize(img, (nh, nw, 3), method="linear")
-                pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
-                return pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w])
+                    def f(raw):
+                        # BGR->RGB flip BEFORE subtracting the BGR means,
+                        # then resize — the reference's quirk order
+                        img = raw[:, :, ::-1].astype(jnp.float32)
+                        img = img - jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
+                        img = jax.image.resize(img, (nh, nw, 3),
+                                               method="linear")
+                        pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
+                        return pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w])
 
-            cache[key] = (jax.jit(f), (nh, nw))
+                    cache[key] = (jax.jit(f), (nh, nw))
         return cache[key]
 
     def preprocess(self, raw_bgr: np.ndarray):

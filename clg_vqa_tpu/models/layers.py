@@ -162,7 +162,9 @@ def multi_head_attention(
     Skv = x_kv.shape[1]
     hd = D // num_heads
 
-    if fused and (deterministic or dropout_rate == 0.0):
+    # deterministic-only: the Pallas kernel is forward-only (no VJP), so a
+    # grad-traced call must take the XLA path even when dropout_rate == 0
+    if fused and deterministic:
         from ..ops.attention import fused_attention
         if Sq != Skv or x_q is not x_kv and x_q.shape != x_kv.shape:
             raise ValueError("fused attention requires self-attention")

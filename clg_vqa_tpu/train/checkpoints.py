@@ -118,14 +118,25 @@ class AsyncSaver:
         import threading
         self._threading = threading
         self._thread = None
+        self._error: BaseException | None = None
 
     def _snapshot(self, tree: Any) -> Any:
         import jax.numpy as jnp
         return jax.tree.map(jnp.copy, tree)
 
     def _submit(self, fn) -> None:
+        # wait() re-raises a previous save's failure here, so a dead disk
+        # (or orbax error) surfaces in the training loop instead of being
+        # swallowed by the daemon thread
         self.wait()
-        t = self._threading.Thread(target=fn, daemon=True)
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:          # noqa: BLE001 — re-raised
+                self._error = e
+
+        t = self._threading.Thread(target=run, daemon=True)
         t.start()
         self._thread = t
 
@@ -145,9 +156,13 @@ class AsyncSaver:
         self._submit(lambda: export_torch_bin(path, snap, model))
 
     def wait(self) -> None:
+        """Join the in-flight save; re-raise its failure if it had one."""
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise RuntimeError("async checkpoint save failed") from e
 
 
 def export_torch_bin(path: str, params: Any, model: str = "uc2",

@@ -247,6 +247,8 @@ class FinetuneRunner:
                 # function of (seed, epoch), so resume skips exactly the
                 # completed prefix and the final state is bit-identical to an
                 # uninterrupted run (tests/test_preemption_resume.py).
+                drain_all()     # flush in-flight metrics into the logger
+                                # so its checkpointed state covers step i
                 if self._saver is not None:
                     self._saver.wait()
                 ckpt.save_state(self.out, state, epoch=epoch,
@@ -283,6 +285,13 @@ class FinetuneRunner:
             self._saver.save_state(self.out, state, **kw)
         else:
             ckpt.save_state(self.out, state, **kw)
+
+    def _export_torch(self, name, params):
+        path = os.path.join(self.out, name)
+        if self._saver is not None:
+            self._saver.export_torch_bin(path, params, self.model_name)
+        else:
+            ckpt.export_torch_bin(path, params, self.model_name)
 
     def _flush_saves(self):
         if self._saver is not None:
@@ -395,14 +404,7 @@ class FinetuneRunner:
             if score > best:
                 best = score
                 self._save_params("params_best", state.params)
-                if self._saver is not None:
-                    self._saver.export_torch_bin(
-                        os.path.join(self.out, "model_best_sft.bin"),
-                        state.params, self.model_name)
-                else:
-                    ckpt.export_torch_bin(
-                        os.path.join(self.out, "model_best_sft.bin"),
-                        state.params, self.model_name)
+                self._export_torch("model_best_sft.bin", state.params)
             if ((epoch + 1) % self.save_every == 0
                     or epoch == self.task_cfg.num_epoch - 1):
                 self._save_state(state, epoch=epoch, best_score=best)

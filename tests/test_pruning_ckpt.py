@@ -232,3 +232,25 @@ def test_async_saver_roundtrip(tmp_path):
                                   np.arange(8.0))
     best = ckpt.load_params(d, "params_best")
     np.testing.assert_array_equal(np.asarray(best["w"]), np.arange(8.0))
+
+
+def test_async_saver_reraises_background_failure(tmp_path):
+    """A failed background save must surface on the next wait()/submit —
+    not vanish in the daemon thread (a full disk would otherwise end the
+    run 'successfully' with no usable checkpoint)."""
+    import pytest
+    from clg_vqa_tpu.train import checkpoints as ckpt
+    import jax.numpy as jnp
+    saver = ckpt.AsyncSaver()
+    # unwritable target: save_params will raise in the background thread
+    bad_dir = str(tmp_path / "file_not_dir")
+    with open(bad_dir, "w") as f:
+        f.write("x")
+    saver.save_params(bad_dir, "params_best", {"w": jnp.ones(3)})
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        saver.wait()
+    # the error is consumed: the saver is reusable afterwards
+    good = str(tmp_path / "ok")
+    saver.save_params(good, "params_best", {"w": jnp.ones(3)})
+    saver.wait()
+    assert ckpt.load_params(good, "params_best")["w"].shape == (3,)
