@@ -179,6 +179,12 @@ def multi_head_attention(
     # v5e at these shapes (the trace-time weight concat costs ~85MB/step of
     # HBM traffic; three [D, D] matmuls are already MXU-efficient). See
     # docs/PERFORMANCE.md "QKV fusion".
+    # NOTE: head-major [B,H,S,hd] q/k/v projections (weights viewed
+    # [D,H,hd], einsum 'bsd,dhe->bhse') were tried to remove the ~22 ms of
+    # [B,S,D] {2,0,1}<->{1,2,0} relayout copies XLA inserts around these
+    # reshapes — and measured SLOWER (M3P 292.4 vs 269.6 ms, UC2 139.5 vs
+    # 133.6 same-day): copies went UP (26->37 ms) and the projection dots
+    # lost efficiency. XLA's chosen layouts beat the hand-steered ones.
     q = linear(x_q, p["q"], compute_dtype).reshape(B, Sq, num_heads, hd)
     k = linear(x_kv, p["k"], compute_dtype).reshape(B, Skv, num_heads, hd)
     v = linear(x_kv, p["v"], compute_dtype).reshape(B, Skv, num_heads, hd)
