@@ -49,6 +49,10 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--adam_epsilon", type=float, default=1e-6)
     p.add_argument("--adam_betas", type=float, nargs=2, default=(0.9, 0.999))
     p.add_argument("--adam_correct_bias", action="store_true", default=True)
+    p.add_argument("--optim_train_epochs", type=int, default=20,
+                   help="lr-schedule horizon in epochs (reference "
+                        "train_task.py:86 — decoupled from --num_epoch)")
+    p.add_argument("--lr_scheduler", type=str, default="warmup_linear")
     p.add_argument("--code_mixing", action="store_true", default=None)
     p.add_argument("--embed_clf", action="store_true", default=None,
                    help="initialize the classifier output from answer word "
@@ -103,6 +107,8 @@ def build_configs(args):
         clip_grad_norm=getattr(args, "clip_grad_norm", 1.0),
         warmup_proportion=getattr(args, "warmup_proportion", 0.1),
         grad_acc_steps=getattr(args, "grad_acc_steps", 4),
+        lr_scheduler=getattr(args, "lr_scheduler", "warmup_linear"),
+        optim_train_epochs=getattr(args, "optim_train_epochs", 20),
     )
     return cfg, task_cfg, optim_cfg
 

@@ -259,3 +259,9 @@ class OptimConfig:
     warmup_proportion: float = 0.1
     grad_acc_steps: int = 4
     lr_scheduler: str = "warmup_linear"
+    # schedule HORIZON in epochs, independent of num_epoch: the reference
+    # sizes WarmupLinearSchedule by --optim_train_epochs (default 20,
+    # train_task.py:86,271-274) while actually training num_epoch (5), so
+    # warmup spans 2 epochs and the final lr is ~0.83x base — the schedule
+    # never decays to 0 within the recipe
+    optim_train_epochs: int = 20

@@ -4,8 +4,10 @@ orbax-backed pytree storage.
 Reference artifacts and our equivalents:
   pytorch_model_{ep}.bin     -> {dir}/params_ep{ep}/          (params only)
   pytorch_model_best.bin     -> {dir}/params_best/
-  pytorch_ckpt_latest.tar    -> {dir}/state_latest/ + meta.json  (params,
-        optimizer state, step, epoch, best score, metric-logger state)
+  pytorch_ckpt_latest.tar    -> {dir}/state_e{E}_s{S}/ + meta.json (params,
+        optimizer state, step, epoch, best score, metric-logger state;
+        meta.json's "state_dir" points at the live dir — saves write a
+        fresh dir then swap the pointer atomically, see save_state)
   mask_lt{ep}.pt / mask_best.pt -> masks saved by train/pruning.py (npz)
 
 The reference additionally exports a torch-loadable state dict; we provide
@@ -68,16 +70,41 @@ def load_params(ckpt_dir: str, name: str, like: Any | None = None) -> Any:
 
 def save_state(ckpt_dir: str, state: TrainState, *, epoch: int,
                best_score: float, extra: dict | None = None) -> None:
+    """Crash-safe resume checkpoint: the new state is written under a
+    FRESH directory name, the meta.json pointer is swapped atomically
+    (os.replace), and only then is the superseded state deleted — a hard
+    kill at any point leaves either the old or the new (state, meta) pair
+    intact. The previous in-place overwrite of state_latest destroyed the
+    only resume checkpoint if the process died mid-save."""
+    import shutil
     os.makedirs(ckpt_dir, exist_ok=True)
     state = stacked_state(state)      # on-disk layout is always stacked
     host = _fetch({"params": state.params, "opt_state": state.opt_state,
                    "step": state.step})
+    meta_path = os.path.join(ckpt_dir, "meta.json")
+    prev = None
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                prev = json.load(f).get("state_dir", "state_latest")
+        except Exception:
+            prev = None
+    name = f"state_e{epoch}_s{int(state.step)}"
+    if prev == name:                  # never rewrite the live pointer target
+        name += "b"
+    target = _path(ckpt_dir, name)
+    if os.path.exists(target):        # stale partial from an earlier crash
+        shutil.rmtree(target)
     with ocp.PyTreeCheckpointer() as c:
-        c.save(_path(ckpt_dir, "state_latest"), host, force=True)
+        c.save(target, host, force=True)
     meta = {"epoch": epoch, "best_score": best_score,
-            "step": int(state.step), **(extra or {})}
-    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+            "step": int(state.step), "state_dir": name, **(extra or {})}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    if prev and prev != name:
+        shutil.rmtree(_path(ckpt_dir, prev), ignore_errors=True)
 
 
 def resume_state(ckpt_dir: str, like: TrainState) -> tuple[TrainState, dict]:
@@ -89,7 +116,7 @@ def resume_state(ckpt_dir: str, like: TrainState) -> tuple[TrainState, dict]:
         meta = json.load(f)
     with ocp.PyTreeCheckpointer() as c:
         restored = c.restore(
-            _path(ckpt_dir, "state_latest"),
+            _path(ckpt_dir, meta.get("state_dir", "state_latest")),
             args=ocp.args.PyTreeRestore(
                 {"params": like.params, "opt_state": like.opt_state,
                  "step": like.step}))

@@ -77,6 +77,7 @@ class FinetuneRunner:
         self.logger = MetricsLogger(output_dir, task_cfg.name)
         self._val_bank = None
         self._val_cache = None
+        self._lr_table = None             # filled by _build_opt
         if val_dataset is not None:
             try:
                 from ..cli.common import maybe_device_bank
@@ -105,14 +106,29 @@ class FinetuneRunner:
     # -- plumbing ---------------------------------------------------------
 
     def _total_steps(self) -> int:
-        return self.pipe.steps_per_epoch() * self.task_cfg.num_epoch
+        """Schedule HORIZON, not the trained step count: the reference
+        sizes the lr schedule by optim_train_epochs (default 20) while
+        training num_epoch (train_task.py:271-274) — a 5-epoch recipe
+        warms up for 2 epochs and ends at ~0.83x base lr, never 0."""
+        return self.pipe.steps_per_epoch() * self.optim_cfg.optim_train_epochs
 
     def _build_opt(self):
         oc = self.optim_cfg
         total = max(self._total_steps(), 1)
         warmup = int(oc.warmup_proportion * total)
-        sched = warmup_linear_schedule(self.task_cfg.lr, warmup, total) \
-            if oc.lr_scheduler == "warmup_linear" else self.task_cfg.lr
+        if oc.lr_scheduler == "warmup_linear":
+            sched = warmup_linear_schedule(self.task_cfg.lr, warmup, total)
+        else:
+            # any other value -> WarmupConstantSchedule, the reference's
+            # else-branch (train_task.py:273-276)
+            from .optim import warmup_constant_schedule
+            sched = warmup_constant_schedule(self.task_cfg.lr, warmup)
+        # host-side lr table for metrics logging (one vectorized device
+        # eval at build time; per-step schedule calls would each pay a
+        # dispatch round trip on a tunneled chip)
+        n = max(self.pipe.steps_per_epoch() * self.task_cfg.num_epoch, 1)
+        self._lr_table = np.asarray(jax.jit(jax.vmap(sched))(
+            jnp.arange(n + 1)))
         # decay mask built in the per-layer layout — update() runs on
         # perlayer_state states (init() is layout-agnostic)
         from ..models.layers import unstack_layer_params
@@ -123,6 +139,14 @@ class FinetuneRunner:
                               weight_decay=oc.weight_decay,
                               correct_bias=oc.correct_bias,
                               clip_norm=oc.clip_grad_norm)
+
+    def _lr_of(self, step: int) -> float:
+        """Scheduled lr at optimizer step `step` (for metrics/TB logging,
+        the reference logs param_groups[0]['lr'], train_task.py:341)."""
+        t = self._lr_table
+        if t is None:
+            return float(self.task_cfg.lr)
+        return float(t[min(step, len(t) - 1)])
 
     def _perlayer(self, state: TrainState) -> TrainState:
         from .loop import perlayer_state
@@ -152,7 +176,10 @@ class FinetuneRunner:
         every eval pass: the val split is static, so tokenization/batch
         assembly (the host-bound part of eval) is paid on the first epoch
         only. With the device bank a cached batch is just token arrays +
-        store_idx + labels (a few MB)."""
+        store_idx + labels (a few MB): the feature gather happens INSIDE
+        the jitted eval step from the bank tensors (one bank copy in HBM;
+        caching gathered features would duplicate ~300 MB per bs-1024
+        batch)."""
         if self._val_cache is not None:
             return self._val_cache
         bank = self._val_bank
@@ -161,8 +188,6 @@ class FinetuneRunner:
                                           with_features=bank is None):
             b.pop("question_id", None)
             b.pop("has_label", None)
-            if bank is not None:
-                b = bank.fill_batch(b)
             cache.append(jax.device_put(
                 {k: jnp.asarray(v) for k, v in b.items()}))
         self._val_cache = cache
@@ -181,8 +206,10 @@ class FinetuneRunner:
             self.logger.step_val(float(m["loss"]), float(m["correct"]),
                                  float(m["count"]))
 
+        vbank = (self._val_bank.tensors() if self._val_bank is not None
+                 else None)
         for b in self._val_batches():
-            inflight.append(self.eval_step(params, b))
+            inflight.append(self.eval_step(params, b, vbank))
             if len(inflight) > 2:
                 consume(inflight.popleft())
         while inflight:
@@ -190,7 +217,12 @@ class FinetuneRunner:
         return self.logger.show_val(epoch)
 
     def _train_epoch(self, state, step_fn, epoch, *, log_every=20,
-                     start_step=0, best=-1.0, grad_mask=None):
+                     start_step=0, best=-1.0, grad_mask=None,
+                     on_best=None):
+        """Returns (state, best). A mid-epoch eval (eval_steps cadence)
+        that improves on `best` updates it and calls on_best(state) — the
+        reference saves its best checkpoint mid-epoch too
+        (train_task.py:349-356)."""
         # rbg PRNG: much cheaper dropout-bit generation on TPU than the
         # default threefry (no parity requirement — the reference's dropout
         # stream is torch RNG anyway). Keyed by (seed, epoch) and folded by
@@ -216,7 +248,7 @@ class FinetuneRunner:
             fetched = jax.device_get([m for _, m in chunk])
             for (j, _), m in zip(chunk, fetched):
                 self.logger.step_train(epoch, float(m["loss"]),
-                                       float(m["score"]), 0.0)
+                                       float(m["score"]), self._lr_of(j))
             if log_every:
                 self.logger.show_train(epoch)
 
@@ -239,7 +271,11 @@ class FinetuneRunner:
                 drain_all()
             if (self.eval_steps and (i + 1) % self.eval_steps == 0
                     and self.val_ds is not None):
-                self.evaluate(state.params, epoch)
+                score = self.evaluate(state.params, epoch)
+                if score > best:
+                    best = score
+                    if on_best is not None:
+                        on_best(state)
             if self._preempted:
                 # Step-granular preemption checkpoint (beyond the reference's
                 # epoch-granular resume, train_utils.py:488-510): meta records
@@ -270,7 +306,7 @@ class FinetuneRunner:
             print(f"epoch {epoch}: {n_done} steady-state steps in {dt:.1f}s "
                   f"= {qa:.0f} QA/s integrated")
         self.logger.show_train(epoch)
-        return state
+        return state, best
 
     # -- checkpoint routing (async by default) ----------------------------
 
@@ -330,9 +366,10 @@ class FinetuneRunner:
                 pass
         state = self._perlayer(state)     # training layout (loop.py)
         for epoch in range(start_epoch, self.task_cfg.num_epoch):
-            state = self._train_epoch(
+            state, best = self._train_epoch(
                 state, step_fn, epoch, best=best,
-                start_step=start_step if epoch == start_epoch else 0)
+                start_step=start_step if epoch == start_epoch else 0,
+                on_best=lambda s: self._save_params("params_best", s.params))
             score = self.evaluate(state.params, epoch)
             if score > best:
                 best = score
@@ -359,8 +396,8 @@ class FinetuneRunner:
             params = pr.apply_mask(self._fresh_theta0(), mask)
             state = self._perlayer(TrainState(params, opt.init(params),
                                               jnp.zeros((), jnp.int32)))
-            state = self._train_epoch(state, step_fn, epoch,
-                                      grad_mask=self._runtime_mask(mask))
+            state, _ = self._train_epoch(state, step_fn, epoch,
+                                         grad_mask=self._runtime_mask(mask))
             from ..models.layers import restack_layer_tree
             mask = pr.imp_prune_step(
                 jax.tree.map(np.asarray, restack_layer_tree(state.params)),
@@ -396,15 +433,19 @@ class FinetuneRunner:
             except FileNotFoundError:
                 pass
         state = self._perlayer(state)
+        def save_best(s):
+            self._save_params("params_best", s.params)
+            self._export_torch("model_best_sft.bin", s.params)
+
         for epoch in range(start_epoch, self.task_cfg.num_epoch):
-            state = self._train_epoch(
+            state, best = self._train_epoch(
                 state, step_fn, epoch, best=best, grad_mask=mask_rt,
-                start_step=start_step if epoch == start_epoch else 0)
+                start_step=start_step if epoch == start_epoch else 0,
+                on_best=save_best)
             score = self.evaluate(state.params, epoch)
             if score > best:
                 best = score
-                self._save_params("params_best", state.params)
-                self._export_torch("model_best_sft.bin", state.params)
+                save_best(state)
             if ((epoch + 1) % self.save_every == 0
                     or epoch == self.task_cfg.num_epoch - 1):
                 self._save_state(state, epoch=epoch, best_score=best)

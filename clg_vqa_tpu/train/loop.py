@@ -261,9 +261,21 @@ def make_eval_step(model_forward: Callable, cfg, *,
     tail batches).
 
     fused_attn: Pallas attention for the validation forward — same
-    trade-off as eval/runner.make_predict_step (wins at bs>=512 on TPU)."""
+    trade-off as eval/runner.make_predict_step (wins at bs>=512 on TPU).
 
-    def eval_step(params, batch):
+    Batches may carry 'store_idx' instead of features; the device bank
+    tensors then ride the call as the `bank` jit ARGUMENT (same contract
+    as make_train_step / make_predict_step — never closure constants, and
+    cached val batches stay index-sized instead of duplicating the bank's
+    gathered features in HBM)."""
+
+    def eval_step(params, batch, bank=None):
+        if bank is not None:
+            from ..data.device_bank import DeviceFeatureBank
+            batch = dict(batch)
+            f, l, m = DeviceFeatureBank.gather_from(
+                bank, batch.pop("store_idx"))
+            batch = {**batch, "features": f, "locs": l, "image_mask": m}
         kw = {"fused_attn": True} if fused_attn else {}
         logits = model_forward(params, cfg, batch, deterministic=True,
                                compute_dtype=compute_dtype, **kw)

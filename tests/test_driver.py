@@ -144,3 +144,22 @@ def test_sft_recipe(world):
     m0 = mask["encoder"]["attn"]["q"]["w"][0]
     assert np.all(q0[m0 == 0] == 0.0)
     assert (m0 == 0).sum() > 0
+
+
+def test_schedule_horizon_and_lr_logging(world):
+    """The lr schedule is sized by optim_train_epochs (reference
+    train_task.py:86,271-274 — default 20), NOT by num_epoch: a short
+    recipe trains inside the warmup ramp / early decay and never hits
+    lr=0. The host-side lr table mirrors the schedule for metrics."""
+    runner, _ = _runner(world, "sched")
+    runner._build_opt()
+    steps_ep = runner.pipe.steps_per_epoch()
+    horizon = steps_ep * runner.optim_cfg.optim_train_epochs
+    assert runner._total_steps() == horizon
+    warmup = int(0.1 * horizon)
+    base = runner.task_cfg.lr
+    assert runner._lr_of(0) == 0.0                      # torch LambdaLR(0)
+    assert abs(runner._lr_of(warmup) - base) < 1e-9     # ramp tops out
+    # trained steps end well before the horizon -> lr never decays to 0
+    n_trained = steps_ep * runner.task_cfg.num_epoch
+    assert runner._lr_of(n_trained) > 0.5 * base

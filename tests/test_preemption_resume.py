@@ -71,7 +71,7 @@ def _runner(world, sub):
 def _final_params(out):
     from clg_vqa_tpu.train import checkpoints as ckpt
     return {p: np.asarray(v) for p, v in _walk(ckpt.load_params(
-        out, "state_latest")["params"])}
+        out, _meta(out).get("state_dir", "state_latest"))["params"])}
 
 
 def _walk(tree, prefix=""):

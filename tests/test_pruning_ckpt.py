@@ -254,3 +254,41 @@ def test_async_saver_reraises_background_failure(tmp_path):
     saver.save_params(good, "params_best", {"w": jnp.ones(3)})
     saver.wait()
     assert ckpt.load_params(good, "params_best")["w"].shape == (3,)
+
+
+def test_save_state_versioned_pointer_swap(tmp_path):
+    """save_state never rewrites the live checkpoint in place: each save
+    writes a fresh dir, swaps the meta.json pointer atomically, then
+    removes the superseded dir — so a crash mid-save can never destroy
+    the only resume checkpoint (reference keeps a single in-place
+    pytorch_ckpt_latest.tar, train_utils.py:351-372)."""
+    import json
+    import os
+    from clg_vqa_tpu.train import checkpoints as ckpt
+    from clg_vqa_tpu.train.loop import TrainState
+    import jax.numpy as jnp
+    d = str(tmp_path / "ck")
+
+    def mk(v):
+        p = {"w": jnp.full((4,), float(v))}
+        return TrainState(p, {"mu": jax.tree.map(jnp.zeros_like, p)},
+                          jnp.asarray(v, jnp.int32))
+
+    ckpt.save_state(d, mk(0), epoch=0, best_score=0.1)
+    meta0 = json.load(open(os.path.join(d, "meta.json")))
+    assert meta0["state_dir"] == "state_e0_s0"
+    # simulate a stale partial dir left by a crashed save at the NEXT name
+    os.makedirs(os.path.join(d, "state_e1_s5"))
+    ckpt.save_state(d, mk(5), epoch=1, best_score=0.2)
+    meta1 = json.load(open(os.path.join(d, "meta.json")))
+    assert meta1["state_dir"] == "state_e1_s5"
+    assert not os.path.exists(os.path.join(d, "state_e0_s0"))  # superseded
+    restored, meta = ckpt.resume_state(d, mk(0))
+    assert int(restored.step) == 5 and meta["epoch"] == 1
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.full((4,), 5.0))
+    # re-saving at the same (epoch, step) must not rewrite the live dir
+    ckpt.save_state(d, mk(5), epoch=1, best_score=0.3)
+    meta2 = json.load(open(os.path.join(d, "meta.json")))
+    assert meta2["state_dir"] == "state_e1_s5b"
+    assert not os.path.exists(os.path.join(d, "state_e1_s5"))
