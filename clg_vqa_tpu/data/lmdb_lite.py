@@ -403,8 +403,17 @@ class _WriteTxn:
         self._puts: dict[bytes, bytes] = {}
 
     def get(self, key, default=None):
+        """Read-through: pending puts shadow the committed store, but a
+        key absent from the pending set must still resolve against disk —
+        py-lmdb write transactions see the committed state."""
         key = key.encode() if isinstance(key, str) else bytes(key)
-        return self._puts.get(key, default)
+        if key in self._puts:
+            return self._puts[key]
+        p = _data_path(self._env.path)
+        if os.path.exists(p) and os.path.getsize(p) >= 2 * PSIZE:
+            with Reader(self._env.path) as r:
+                return r.get(key, default)
+        return default
 
     def put(self, key, value):
         key = key.encode() if isinstance(key, str) else bytes(key)

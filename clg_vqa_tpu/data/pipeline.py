@@ -40,13 +40,25 @@ class TrainPipeline:
         self.with_features = with_features
 
     def steps_per_epoch(self) -> int:
-        per_host = len(self.ds) // self.num_hosts
+        # mirrors _epoch_order: per-host length is ceil(N/num_hosts) with
+        # wrap-around padding, so all hosts agree on the step count
+        per_host = (len(self.ds) if self.num_hosts == 1
+                    else -(-len(self.ds) // self.num_hosts))
         return per_host // (self.mbs * self.acc)
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         order = np.arange(len(self.ds))
         np.random.RandomState(self.seed + epoch).shuffle(order)
-        return order[self.host_id::self.num_hosts]
+        if self.num_hosts == 1:
+            return order
+        # equal per-host length via wrap-around padding (torch
+        # DistributedSampler semantics): every host must dispatch the SAME
+        # number of steps — an uneven split would leave one host joining a
+        # collective the others never enter (SPMD deadlock)
+        per_host = -(-len(order) // self.num_hosts)
+        padded = np.concatenate(
+            [order, order[:per_host * self.num_hosts - len(order)]])
+        return padded[self.host_id::self.num_hosts]
 
     def _assemble(self, idx_chunk: np.ndarray) -> dict:
         b = self.ds.make_batch(idx_chunk.tolist(),
@@ -74,6 +86,10 @@ class TrainPipeline:
         stop = threading.Event()
 
         def producer():
+            # the sentinel carries any assembly failure to the consumer:
+            # swallowing it would silently truncate the epoch to however
+            # many batches were produced before the error
+            err = None
             try:
                 for s in range(start_step, n_steps):
                     if stop.is_set():
@@ -85,8 +101,10 @@ class TrainPipeline:
                     if self.device_put:
                         host_b = jax.device_put(host_b)
                     q.put(host_b)
+            except BaseException as e:          # noqa: BLE001 — re-raised
+                err = e
             finally:
-                q.put(None)
+                q.put(err)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -95,6 +113,9 @@ class TrainPipeline:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise RuntimeError(
+                        "train pipeline batch assembly failed") from item
                 yield item
         finally:
             stop.set()

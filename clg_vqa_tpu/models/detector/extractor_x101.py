@@ -1,14 +1,22 @@
-"""X-101-32x8d-FPN 100-box feature extractor (the M3P feature pipeline).
+"""X-101-FPN 100-box feature extractor (the M3P feature pipeline).
 
 Mirrors mmf's extract_features_vmb.py driver over the
-vqa-maskrcnn-benchmark detector: channel-flipped input minus the
-(102.9801, 115.9465, 122.7717) mean (the reference flips BGR->RGB *before*
-subtracting the BGR means — a quirk kept as-is, extract_features_vmb.py:
-147-149), shortest-800/max-1333 resize, ResNeXt+FPN backbone, multi-level
-RPN, RoIAlign 7x7 box head, softmax over 1601 classes, per-class NMS(0.5)
-with shared proposal boxes, top-100 by max kept confidence; features are the
-post-ReLU fc6 activations; boxes are the (refined) detections divided by the
-image scale.
+vqa-maskrcnn-benchmark detector with the released detectron_model.yaml
+config: ResNeXt-101-**64x4d** backbone with **512-channel** FPN
+(MODEL.RESNETS NUM_GROUPS=64 WIDTH_PER_GROUP=4, BACKBONE.OUT_CHANNELS=512),
+channel-flipped input minus the (102.9801, 115.9465, 122.7717) mean (the
+reference flips BGR->RGB *before* subtracting the BGR means — a quirk kept
+as-is, extract_features_vmb.py:147-149), shortest-800/max-1333 resize,
+multi-level RPN with **legacy caffe anchors + TO_REMOVE=1 box semantics**
+(anchor_generator.py:183-232, box_coder.py:52-96, bounding_box.py:203-208,
+csrc nms +1 IoU), RoIAlign 7x7 (sampling_ratio 2, unaligned) box head,
+softmax over 1601 classes, per-class NMS(0.5) with shared proposal boxes,
+top-100 by max kept confidence; features are the post-ReLU fc6
+activations; boxes are the RAW RPN proposals divided by the image scale
+(extract_features_vmb.py uses output['proposals'], NOT bbox_pred-refined
+detections — the predictor's bbox_pred weights exist in the checkpoint
+but are dead on this path; they are kept in the pytree only so released
+checkpoints load key-complete).
 """
 from __future__ import annotations
 
@@ -37,24 +45,35 @@ class X101Config:
     max_size: int = 1333
     num_classes: int = 1600
     bf16: bool = True
+    # detectron_model.yaml: RESNETS.NUM_GROUPS 64 / WIDTH_PER_GROUP 4,
+    # BACKBONE.OUT_CHANNELS 512 — the released checkpoint's shapes
+    groups: int = 64
+    width_per_group: int = 4
+    fpn_channels: int = 512
 
 
-def init_x101_params(rng) -> dict:
+def init_x101_params(rng, cfg: X101Config | None = None) -> dict:
+    cfg = cfg or X101Config()
     k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
 
     def lin(rng, i, o, std=0.01):
         return {"w": jax.random.normal(rng, (i, o), jnp.float32) * std,
                 "b": jnp.zeros((o,), jnp.float32)}
 
+    ch = cfg.fpn_channels
     return {
-        "backbone": resnet.init_backbone_x(k1, depth=101, groups=32,
-                                           width_per_group=8),
-        "fpn": F.init_fpn(k2),
-        "rpn": rpn.init_rpn(k3, in_channels=256, hid_channels=256,
+        "backbone": resnet.init_backbone_x(
+            k1, depth=101, groups=cfg.groups,
+            width_per_group=cfg.width_per_group),
+        "fpn": F.init_fpn(k2, out_channels=ch),
+        "rpn": rpn.init_rpn(k3, in_channels=ch, hid_channels=ch,
                             num_anchors=3),
-        "box_head": F.init_box_head_fc(k4, rep_dim=2048),
+        "box_head": F.init_box_head_fc(k4, in_dim=ch * 7 * 7, rep_dim=2048),
         "predictor": {
             "cls_score": lin(k5, 2048, 1601),
+            # dead on the extraction path (raw proposals are exported) but
+            # present in released checkpoints — kept so loads are
+            # key-complete, never applied
             "bbox_pred": lin(jax.random.fold_in(k5, 1), 2048, 1601 * 4,
                              0.001),
         },
@@ -70,8 +89,8 @@ class ExtractorX101:
         self._sizes = [32, 64, 128, 256, 512]
         self._anchors = []
         for stride, size in zip(self._strides, self._sizes):
-            fh, fw = c.pad_h // stride, c.pad_w // stride
-            self._anchors.append(jnp.asarray(rpn.generate_anchors(
+            fh, fw = -(-c.pad_h // stride), -(-c.pad_w // stride)
+            self._anchors.append(jnp.asarray(rpn.generate_anchors_caffe(
                 fh, fw, stride=stride, sizes=(size,))))
         self._jitted = jax.jit(self._pipeline)
         # device-batched variant: the pipeline is pure per-image, so vmap
@@ -93,8 +112,11 @@ class ExtractorX101:
                                "fpn": params["fpn"]})
             params = {**params, **bb}
             image = image.astype(jnp.bfloat16)
+        # STRIDE_IN_1X1 False (detectron_model.yaml: "default True for
+        # MSRA; False for C2 or Torch models") — stride lives in the 3x3
         stages = resnet.backbone_stages(image[None], params["backbone"],
-                                        groups=32, caffe_pool=False)
+                                        groups=c.groups, caffe_pool=False,
+                                        stride_in_1x1=False)
         pyr = F.fpn(stages, params["fpn"])
 
         # per-level pre-NMS candidates (top-k + decode + clip), then ONE
@@ -119,15 +141,16 @@ class ExtractorX101:
                 top_s = jnp.pad(top_s, (0, c.pre_nms_topk - k),
                                 constant_values=-jnp.inf)
                 top_i = jnp.pad(top_i, (0, c.pre_nms_topk - k))
-            b = rpn.decode_boxes(anchors[top_i],
-                                 deltas.reshape(-1, 4)[top_i])
-            cand_boxes.append(rpn.clip_boxes(b, valid_hw[0], valid_hw[1]))
+            b = rpn.decode_boxes_legacy(anchors[top_i],
+                                        deltas.reshape(-1, 4)[top_i])
+            cand_boxes.append(
+                rpn.clip_boxes_legacy(b, valid_hw[0], valid_hw[1]))
             cand_scores.append(top_s)
         lvl_boxes = jnp.stack(cand_boxes)               # [5, K, 4]
         lvl_scores = jnp.stack(cand_scores)             # [5, K]
         keep = batched_nms_fixpoint(
             lvl_boxes, lvl_scores, c.rpn_nms_thresh,
-            valid=jnp.isfinite(lvl_scores), class_chunk=8)
+            valid=jnp.isfinite(lvl_scores), class_chunk=8, legacy=True)
         merged = jnp.where(keep, lvl_scores, -jnp.inf).reshape(-1)
         top_s, top_i = jax.lax.top_k(merged, c.post_nms_topk)
         proposals = lvl_boxes.reshape(-1, 4)[top_i]
@@ -136,7 +159,8 @@ class ExtractorX101:
         # single flattened-pyramid RoIAlign pass (each box samples only its
         # assigned level) on the bf16 pyramid, fp32 accumulation; fc6/fc7 as
         # bf16 matmuls with fp32 accumulation when bf16 is on
-        crops = F.multilevel_roi_align_flat(pyr, proposals)
+        crops = F.multilevel_roi_align_flat(pyr, proposals,
+                                            legacy_levels=True)
         fc6, fc7 = F.box_head_fc(
             crops, params["box_head"],
             compute_dtype=jnp.bfloat16 if c.bf16 else None)
@@ -144,7 +168,8 @@ class ExtractorX101:
             + params["predictor"]["cls_score"]["b"]
         probs = jax.nn.softmax(cls_logits, axis=-1)
         order, max_conf, objects = F.select_top_by_class_nms(
-            proposals, probs, num_keep=c.num_boxes, valid=pvalid)
+            proposals, probs, num_keep=c.num_boxes, valid=pvalid,
+            legacy=True)
         return {
             "features": fc6[order],
             "boxes": proposals[order],

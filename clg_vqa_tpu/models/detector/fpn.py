@@ -58,11 +58,16 @@ def fpn(features: tuple, params: Params):
 
 def assign_levels(boxes: jnp.ndarray, *, k_min: int = 2, k_max: int = 5,
                   canonical_scale: float = 224.0,
-                  canonical_level: int = 4) -> jnp.ndarray:
+                  canonical_level: int = 4,
+                  legacy: bool = False) -> jnp.ndarray:
     """maskrcnn-benchmark LevelMapper: target_lvls clamped to [k_min, k_max].
-    Returns level index relative to P2 (0..3)."""
-    w = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0)
-    h = jnp.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    Returns level index relative to P2 (0..3). legacy=True uses the
+    TO_REMOVE=1 box area of BoxList.area() (bounding_box.py:230-233) that
+    the reference's LevelMapper actually receives — boxes near a level
+    boundary can land one level apart otherwise."""
+    t = 1.0 if legacy else 0.0
+    w = jnp.maximum(boxes[:, 2] - boxes[:, 0] + t, 0)
+    h = jnp.maximum(boxes[:, 3] - boxes[:, 1] + t, 0)
     s = jnp.sqrt(w * h)
     lvl = jnp.floor(canonical_level + jnp.log2(s / canonical_scale + 1e-6))
     return (jnp.clip(lvl, k_min, k_max) - k_min).astype(jnp.int32)
@@ -88,13 +93,14 @@ def multilevel_roi_align(pyramid: list, boxes: jnp.ndarray, *,
 
 def multilevel_roi_align_flat(pyramid: list, boxes: jnp.ndarray, *,
                               output_size=(7, 7), sampling_ratio: int = 2,
-                              base_stride: int = 4) -> jnp.ndarray:
+                              base_stride: int = 4,
+                              legacy_levels: bool = False) -> jnp.ndarray:
     """Same semantics as multilevel_roi_align but via ONE flattened-pyramid
     pass (ops/roi.py:roi_align_flat): each box gathers only from its assigned
     level — 1x instead of 4x the gather work. Accepts bf16 pyramids
     (accumulates fp32)."""
     from ...ops.roi import roi_align_flat
-    lvls = assign_levels(boxes)
+    lvls = assign_levels(boxes, legacy=legacy_levels)
     feats = [jnp.moveaxis(p[0], -1, 0) for p in pyramid[:4]]   # [C, H, W]
     shapes = tuple((f.shape[1], f.shape[2]) for f in feats)
     flat = jnp.concatenate([f.reshape(f.shape[0], -1) for f in feats], axis=1)
@@ -127,7 +133,8 @@ def box_head_fc(crops: jnp.ndarray, params: Params, compute_dtype=None):
 def select_top_by_class_nms(boxes: jnp.ndarray, probs: jnp.ndarray, *,
                             num_keep: int = 100, nms_thresh: float = 0.5,
                             conf_thresh: float = 0.0,
-                            valid: jnp.ndarray | None = None):
+                            valid: jnp.ndarray | None = None,
+                            legacy: bool = False):
     """extract_features_vmb's per-class NMS selection, fully vectorized via
     the parallel-fixpoint NMS (ops/nms.py:batched_nms_fixpoint — exact greedy,
     no O(N)-deep recurrence).
@@ -136,7 +143,8 @@ def select_top_by_class_nms(boxes: jnp.ndarray, probs: jnp.ndarray, *,
     background, skipped). Returns (indices [num_keep], max_conf [num_keep],
     objects [num_keep] foreground argmax)."""
     fg = probs[:, 1:]                                   # [N, C]
-    keep_c = batched_nms_fixpoint(boxes, fg.T, nms_thresh, valid=valid)
+    keep_c = batched_nms_fixpoint(boxes, fg.T, nms_thresh, valid=valid,
+                                  legacy=legacy)
     kept_scores = jnp.where(keep_c & (fg.T > conf_thresh), fg.T, 0.0)
     max_conf = jnp.max(kept_scores, axis=0)             # [N]
     order = jnp.argsort(-max_conf)[:num_keep]

@@ -192,7 +192,7 @@ def init_res5(rng, *, depth: int = 101) -> Params:
 
 def init_backbone_x(rng, *, depth: int = 101, groups: int = 32,
                     width_per_group: int = 8) -> Params:
-    """ResNeXt backbone (X-101-32x8d for the mmf/vqa-maskrcnn-benchmark
+    """ResNeXt backbone (X-101 (64x4d per detectron_model.yaml) for the mmf/vqa-maskrcnn-benchmark
     feature pipeline), stages res2..res5."""
     n2, n3, n4, n5 = STAGE_BLOCKS[depth]
     ks = iter(jax.random.split(rng, 128))
@@ -204,7 +204,7 @@ def init_backbone_x(rng, *, depth: int = 101, groups: int = 32,
                                  cout, shortcut=(i == 0), groups=groups)
                 for i in range(n)]
 
-    w = groups * width_per_group          # 256 for 32x8d
+    w = groups * width_per_group          # 256 for 64x4d and 32x8d alike
     params["res2"] = make_stage(n2, 64, w, 256)
     params["res3"] = make_stage(n3, 256, w * 2, 512)
     params["res4"] = make_stage(n4, 512, w * 4, 1024)

@@ -47,6 +47,47 @@ def generate_anchors(feat_h: int, feat_w: int, *, stride: int = 16,
     return anchors.reshape(-1, 4)
 
 
+def generate_anchors_caffe(feat_h: int, feat_w: int, *, stride: int,
+                           sizes=(32,), ratios=(0.5, 1.0, 2.0)) -> np.ndarray:
+    """Legacy Detectron/caffe anchors — what vqa-maskrcnn-benchmark's
+    AnchorGenerator uses (maskrcnn_benchmark/modeling/rpn/
+    anchor_generator.py:183-232): a base (0,0,stride-1,stride-1) window,
+    ROUNDED w/h in the aspect-ratio enumeration, center (stride-1)/2 —
+    every anchor differs from the detectron2-continuous ones by 1-2.5 px,
+    and the released X-101 RPN deltas were trained against THESE. Grid
+    shifts at stride*i; ratio-major cell ordering (matches the RPN head's
+    channel layout). [H*W*A, 4] xyxy, A-fastest."""
+    base = np.array([0.0, 0.0, stride - 1.0, stride - 1.0])
+
+    def whctrs(a):
+        w = a[2] - a[0] + 1.0
+        h = a[3] - a[1] + 1.0
+        return w, h, a[0] + 0.5 * (w - 1.0), a[1] + 0.5 * (h - 1.0)
+
+    def mk(ws, hs, xc, yc):
+        ws, hs = np.asarray(ws, np.float64), np.asarray(hs, np.float64)
+        return np.stack([xc - 0.5 * (ws - 1.0), yc - 0.5 * (hs - 1.0),
+                         xc + 0.5 * (ws - 1.0), yc + 0.5 * (hs - 1.0)], 1)
+
+    w, h, xc, yc = whctrs(base)
+    size = w * h
+    ws = np.round(np.sqrt(size / np.asarray(ratios)))
+    hs = np.round(ws * np.asarray(ratios))
+    ratio_anchors = mk(ws, hs, xc, yc)
+    cells = []
+    scales = np.asarray(sizes, np.float64) / stride
+    for i in range(ratio_anchors.shape[0]):
+        w, h, xc, yc = whctrs(ratio_anchors[i])
+        cells.append(mk(w * scales, h * scales, xc, yc))
+    cell = np.vstack(cells).astype(np.float32)            # [R*S, 4]
+    sx = np.arange(feat_w, dtype=np.float32) * stride
+    sy = np.arange(feat_h, dtype=np.float32) * stride
+    shift_x, shift_y = np.meshgrid(sx, sy)
+    shifts = np.stack([shift_x.ravel(), shift_y.ravel(),
+                       shift_x.ravel(), shift_y.ravel()], 1)
+    return (shifts[:, None, :] + cell[None, :, :]).reshape(-1, 4)
+
+
 def decode_boxes(anchors: jnp.ndarray, deltas: jnp.ndarray,
                  weights=(1.0, 1.0, 1.0, 1.0),
                  clamp: float = math.log(1000.0 / 16)) -> jnp.ndarray:
@@ -72,6 +113,37 @@ def clip_boxes(boxes: jnp.ndarray, h, w) -> jnp.ndarray:
     return jnp.stack([
         jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),
         jnp.clip(boxes[:, 2], 0, w), jnp.clip(boxes[:, 3], 0, h)], axis=1)
+
+
+def decode_boxes_legacy(anchors: jnp.ndarray, deltas: jnp.ndarray,
+                        clamp: float = math.log(1000.0 / 16)) -> jnp.ndarray:
+    """maskrcnn-benchmark BoxCoder.decode (box_coder.py:52-96): legacy
+    TO_REMOVE=1 box widths (w = x2-x1+1) and x2 = ctr+0.5w-1 outputs —
+    the coordinate convention the released X-101 checkpoint's deltas
+    assume. decode_boxes (detectron2 continuous) differs by up to a pixel
+    per side."""
+    widths = anchors[:, 2] - anchors[:, 0] + 1.0
+    heights = anchors[:, 3] - anchors[:, 1] + 1.0
+    ctr_x = anchors[:, 0] + 0.5 * widths
+    ctr_y = anchors[:, 1] + 0.5 * heights
+    dx, dy = deltas[:, 0], deltas[:, 1]
+    dw = jnp.minimum(deltas[:, 2], clamp)
+    dh = jnp.minimum(deltas[:, 3], clamp)
+    pcx = dx * widths + ctr_x
+    pcy = dy * heights + ctr_y
+    pw = jnp.exp(dw) * widths
+    ph = jnp.exp(dh) * heights
+    return jnp.stack([pcx - 0.5 * pw, pcy - 0.5 * ph,
+                      pcx + 0.5 * pw - 1.0, pcy + 0.5 * ph - 1.0], axis=1)
+
+
+def clip_boxes_legacy(boxes: jnp.ndarray, h, w) -> jnp.ndarray:
+    """BoxList.clip_to_image with TO_REMOVE=1 (bounding_box.py:203-208):
+    clamp to [0, size-1]."""
+    return jnp.stack([
+        jnp.clip(boxes[:, 0], 0, w - 1), jnp.clip(boxes[:, 1], 0, h - 1),
+        jnp.clip(boxes[:, 2], 0, w - 1), jnp.clip(boxes[:, 3], 0, h - 1)],
+        axis=1)
 
 
 def rpn_head(feat: jnp.ndarray, params: Params):

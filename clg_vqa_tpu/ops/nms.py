@@ -25,36 +25,43 @@ import jax.numpy as jnp
 NEG = -jnp.inf
 
 
-def iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise IoU, boxes [N, 4] xyxy (torchvision convention, no +1)."""
+def iou_matrix(boxes: jnp.ndarray, *, legacy: bool = False) -> jnp.ndarray:
+    """Pairwise IoU, boxes [N, 4] xyxy. legacy=False: torchvision
+    convention (widths x2-x1). legacy=True: the Detectron/caffe +1
+    convention of maskrcnn-benchmark's NMS kernels (csrc/cpu/nms_cpu.cpp:
+    22,56-57: areas and intersections use x2-x1+1) — the X-101 extraction
+    path must suppress with THESE IoUs to match the reference."""
+    t = 1.0 if legacy else 0.0
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    area = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    area = jnp.maximum(x2 - x1 + t, 0) * jnp.maximum(y2 - y1 + t, 0)
     lt_x = jnp.maximum(x1[:, None], x1[None, :])
     lt_y = jnp.maximum(y1[:, None], y1[None, :])
     rb_x = jnp.minimum(x2[:, None], x2[None, :])
     rb_y = jnp.minimum(y2[:, None], y2[None, :])
-    inter = (jnp.maximum(rb_x - lt_x, 0) * jnp.maximum(rb_y - lt_y, 0))
+    inter = (jnp.maximum(rb_x - lt_x + t, 0)
+             * jnp.maximum(rb_y - lt_y + t, 0))
     union = area[:, None] + area[None, :] - inter
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-def _iou_row(box: jnp.ndarray, boxes: jnp.ndarray, areas: jnp.ndarray
-             ) -> jnp.ndarray:
-    """IoU of one box [4] against all boxes [N, 4]."""
-    a = jnp.maximum(box[2] - box[0], 0) * jnp.maximum(box[3] - box[1], 0)
+def _iou_row(box: jnp.ndarray, boxes: jnp.ndarray, areas: jnp.ndarray,
+             t: float = 0.0) -> jnp.ndarray:
+    """IoU of one box [4] against all boxes [N, 4]; t=1 for legacy +1."""
+    a = jnp.maximum(box[2] - box[0] + t, 0) \
+        * jnp.maximum(box[3] - box[1] + t, 0)
     lt_x = jnp.maximum(box[0], boxes[:, 0])
     lt_y = jnp.maximum(box[1], boxes[:, 1])
     rb_x = jnp.minimum(box[2], boxes[:, 2])
     rb_y = jnp.minimum(box[3], boxes[:, 3])
-    inter = jnp.maximum(rb_x - lt_x, 0) * jnp.maximum(rb_y - lt_y, 0)
+    inter = jnp.maximum(rb_x - lt_x + t, 0) * jnp.maximum(rb_y - lt_y + t, 0)
     union = a + areas - inter
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-@partial(jax.jit, static_argnames=("max_outputs",))
+@partial(jax.jit, static_argnames=("max_outputs", "legacy"))
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         *, max_outputs: int | None = None,
-        valid: jnp.ndarray | None = None):
+        valid: jnp.ndarray | None = None, legacy: bool = False):
     """torchvision.ops.nms semantics with static shapes.
 
     Returns (indices [K], keep_mask [K]) where K = max_outputs or N; indices
@@ -63,8 +70,9 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     the sorted reference)."""
     n = boxes.shape[0]
     k = max_outputs or n
-    areas = (jnp.maximum(boxes[:, 2] - boxes[:, 0], 0)
-             * jnp.maximum(boxes[:, 3] - boxes[:, 1], 0))
+    t = 1.0 if legacy else 0.0
+    areas = (jnp.maximum(boxes[:, 2] - boxes[:, 0] + t, 0)
+             * jnp.maximum(boxes[:, 3] - boxes[:, 1] + t, 0))
     live = jnp.where(valid if valid is not None else True,
                      scores.astype(jnp.float32), NEG)
 
@@ -72,7 +80,7 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         live, out_idx, out_keep = carry
         j = jnp.argmax(live)                      # stable: first max wins
         ok = live[j] > NEG
-        row = _iou_row(boxes[j], boxes, areas)
+        row = _iou_row(boxes[j], boxes, areas, t)
         suppress = row > iou_threshold
         live = jnp.where(ok & suppress, NEG, live)
         live = live.at[j].set(NEG)
@@ -106,18 +114,24 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 
 def _tie_broken(scores: jnp.ndarray) -> jnp.ndarray:
-    """Strict priority: higher score wins, ties broken by lower index (the
-    stable-sort semantics of the reference)."""
+    """Strict (score desc, index asc) priority as EXACT ranks: a stable
+    argsort of -scores is the greedy visitation order, and the priority of
+    each box is its (negated) position in that order. Exact for any score
+    gap — the previous arange*1e-7 epsilon subtraction inverted the
+    priority of pairs whose true gap was below index_gap*1e-7 (up to 1e-4
+    at N=1000, routine among softmax scores), breaking greedy parity."""
     n = scores.shape[-1]
-    eps = jnp.arange(n, dtype=jnp.float32) * 1e-7
-    return scores.astype(jnp.float32) - eps
+    order = jnp.argsort(-scores.astype(jnp.float32), axis=-1, stable=True)
+    inv = jnp.argsort(order, axis=-1, stable=True)    # rank of each box
+    return (n - inv).astype(jnp.float32)              # higher = visited first
 
 
-@partial(jax.jit, static_argnames=("class_chunk",))
+@partial(jax.jit, static_argnames=("class_chunk", "legacy"))
 def batched_nms_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
                          iou_threshold: float, *,
                          valid: jnp.ndarray | None = None,
-                         class_chunk: int = 128) -> jnp.ndarray:
+                         class_chunk: int = 128,
+                         legacy: bool = False) -> jnp.ndarray:
     """Exact greedy per-class NMS over SHARED boxes as a parallel fixpoint.
 
     keep[i] <- valid[i] and no kept higher-priority box overlaps i; iterating
@@ -131,10 +145,11 @@ def batched_nms_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
     Returns keep [C, N] bool.
     """
     C, N = scores.shape
+    iou = partial(iou_matrix, legacy=legacy)
     if boxes.ndim == 3:
-        over = jax.vmap(iou_matrix)(boxes) > iou_threshold   # [C, N, N]
+        over = jax.vmap(iou)(boxes) > iou_threshold          # [C, N, N]
     else:
-        over = iou_matrix(boxes) > iou_threshold
+        over = iou(boxes) > iou_threshold
     over = over & ~jnp.eye(N, dtype=bool)
     v = jnp.ones((C, N), bool) if valid is None else (
         jnp.broadcast_to(valid, (C, N)) if valid.ndim == 1 else valid)

@@ -222,7 +222,7 @@ def pytree_to_detectron2_c4(params: dict) -> dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# X-101-32x8d FPN (vqa-maskrcnn-benchmark / mmf feature pipeline)
+# X-101 FPN (vqa-maskrcnn-benchmark / mmf feature pipeline; 64x4d, FPN 512)
 # ---------------------------------------------------------------------------
 
 #: state-dict keys that carry no learnable weights (anchor buffers are
@@ -233,7 +233,7 @@ _X101_IGNORED = re.compile(r"(^|\.)anchor_generator\.|cell_anchors")
 
 def maskrcnn_x101_to_pytree(sd: Mapping[str, np.ndarray]) -> dict:
     """vqa-maskrcnn-benchmark ``detectron_model.pth`` (GeneralizedRCNN,
-    X-101-32x8d-FPN) -> ExtractorX101 params pytree.
+    X-101-64x4d FPN-512 detectron_model.pth) -> ExtractorX101 params pytree.
 
     Key naming per the vendored sources:
       backbone.body.stem.{conv1,bn1}            resnet.py:270-277

@@ -159,8 +159,12 @@ def test_pipeline_host_sharding(eval_world):
     pipe1 = TrainPipeline(ds, micro_batch_size=4, grad_acc_steps=1, seed=0,
                           host_id=1, num_hosts=2, device_put=False)
     o0, o1 = pipe0._epoch_order(0), pipe1._epoch_order(0)
-    assert set(o0).isdisjoint(set(o1))
+    # equal lengths (SPMD step-count agreement); full coverage; overlap
+    # only from the wrap-around pad that equalizes uneven splits
+    assert len(o0) == len(o1)
     assert len(set(o0) | set(o1)) == len(ds)
+    pad = len(o0) + len(o1) - len(ds)
+    assert len(set(o0) & set(o1)) <= pad
 
 
 def test_eval_with_device_bank_matches(eval_world):
@@ -238,3 +242,43 @@ def test_scorer_on_reference_stored_predictions():
             f"test_{lang}_result.json")))
         got = 100 * scorer.evaluate(preds, truth)
         assert abs(got - want) < 0.01, (model, lang, got)
+
+
+class _FakeDS:
+    def __init__(self, n, fail=False):
+        self.n, self.fail = n, fail
+
+    def __len__(self):
+        return self.n
+
+    def make_batch(self, idx, with_features=True):
+        if self.fail:
+            raise KeyError("image_id missing from store")
+        return {"labels": np.asarray(idx, np.int32)}
+
+
+def test_pipeline_uneven_hosts_equal_steps():
+    """Hosts must agree on steps_per_epoch (unequal strided splits would
+    leave one host alone inside a collective -> SPMD deadlock); the
+    remainder is covered by wrap-around padding like DistributedSampler."""
+    from clg_vqa_tpu.data.pipeline import TrainPipeline
+    pipes = [TrainPipeline(_FakeDS(399), micro_batch_size=100,
+                           grad_acc_steps=1, seed=0, host_id=h, num_hosts=2,
+                           device_put=False) for h in range(2)]
+    o0, o1 = (p._epoch_order(0) for p in pipes)
+    assert len(o0) == len(o1) == 200
+    assert pipes[0].steps_per_epoch() == pipes[1].steps_per_epoch() == 2
+    assert len(list(pipes[0].epoch(0))) == len(list(pipes[1].epoch(0))) == 2
+    # full coverage: every entry appears on some host
+    assert set(np.concatenate([o0, o1])) == set(range(399))
+
+
+def test_pipeline_producer_error_propagates():
+    """A batch-assembly failure must raise in the consumer, not silently
+    truncate the epoch."""
+    import pytest
+    from clg_vqa_tpu.data.pipeline import TrainPipeline
+    pipe = TrainPipeline(_FakeDS(64, fail=True), micro_batch_size=8,
+                         grad_acc_steps=1, seed=0, device_put=False)
+    with pytest.raises(RuntimeError, match="batch assembly failed"):
+        list(pipe.epoch(0))

@@ -133,7 +133,7 @@ def test_c4_d2_names_inventory_roundtrip():
 
 
 # ---------------------------------------------------------------------------
-# X101-32x8d FPN .pth (vqa-maskrcnn-benchmark)
+# X101-64x4d FPN-512 .pth (vqa-maskrcnn-benchmark)
 # ---------------------------------------------------------------------------
 
 def _x101_state_dict(params0) -> dict:

@@ -279,3 +279,32 @@ def test_multilevel_roi_align_flat_matches_per_level():
     lvls = np.asarray(F.assign_levels(boxes))
     assert len(np.unique(lvls)) >= 3, "test should span several levels"
     np.testing.assert_array_equal(a, b)
+
+
+def test_fixpoint_nms_close_scores_exact_priority():
+    """Sub-1e-4 score gaps must not invert greedy priority (the old
+    epsilon tie-break suppressed the HIGHER-scoring of two overlapping
+    boxes when the lower-scoring one had a much smaller index)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from clg_vqa_tpu.ops.nms import batched_nms_fixpoint, nms
+    n = 1000
+    r = np.random.RandomState(3)
+    boxes = np.zeros((n, 4), np.float32)
+    boxes[:, 0] = r.rand(n) * 100
+    boxes[:, 1] = r.rand(n) * 100
+    boxes[:, 2] = boxes[:, 0] + 10
+    boxes[:, 3] = boxes[:, 1] + 10
+    # two heavily overlapping boxes, low-index one scores SLIGHTLY lower
+    boxes[900] = boxes[0] + np.asarray([1, 1, 1, 1], np.float32)
+    scores = r.rand(n).astype(np.float32) * 0.5
+    scores[0] = 0.51000
+    scores[900] = 0.51005
+    keep = np.asarray(batched_nms_fixpoint(
+        jnp.asarray(boxes), jnp.asarray(scores)[None], 0.5))[0]
+    assert keep[900] and not keep[0]
+    # and the whole keep set matches the exact sequential greedy oracle
+    idx, k = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5)
+    seq = np.zeros(n, bool)
+    seq[np.asarray(idx)[np.asarray(k)]] = True
+    np.testing.assert_array_equal(keep, seq)

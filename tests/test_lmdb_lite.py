@@ -195,3 +195,19 @@ def test_rejects_non_lmdb(tmp_path):
 def test_long_key_rejected(tmp_path):
     with pytest.raises(ValueError):
         ll.write_lmdb(str(tmp_path / "x.mdb"), [(b"k" * 600, b"v")])
+
+
+def test_write_txn_reads_through_committed_store(tmp_path):
+    """py-lmdb write transactions see committed data: txn.get of a key
+    not in the pending puts must resolve against the store on disk."""
+    from clg_vqa_tpu.data import lmdb_lite as L
+    p = str(tmp_path / "db")
+    env = L.open(p, map_size=1 << 20)
+    with env.begin(write=True) as t:
+        t.put(b"a", b"1")
+    with env.begin(write=True) as t:
+        assert t.get(b"a") == b"1"          # read-through
+        t.put(b"b", b"2")
+        assert t.get(b"b") == b"2"          # pending shadows
+    with env.begin() as t:
+        assert t.get(b"a") == b"1" and t.get(b"b") == b"2"
