@@ -134,7 +134,87 @@ def init_extractor_params(rng) -> dict:
     }
 
 
-class Extractor36:
+class PipelinedExtractor:
+    """Shared pipelined bulk-extraction machinery for the detector
+    drivers (Extractor36 / ExtractorX101 subclass this). Subclasses
+    provide ``preprocess``, ``_jitted``, ``_jitted_batch`` and
+    ``_finish(image_id, out, nh, nw, rh, rw)``; this class provides the
+    overlap structure, which is identical for both reference drivers
+    (detectron2_proposal_maxnms.py:196 / extract_features_vmb.py:229-244
+    both run bs=1 synchronously)."""
+
+    def _cached_program(self, key, build):
+        """Single-flight per-key jit cache under the prefetch pool: two
+        workers hitting the same fresh shape must not build two jit
+        instances (each would pay the minutes-long remote compile)."""
+        cache = self._pre_cache
+        if key not in cache:
+            with self._pre_lock:
+                if key not in cache:
+                    cache[key] = build()
+        return cache[key]
+
+    def extract_many(self, items, *, depth: int = 2, device_batch: int = 1,
+                     prefetch_workers: int = 2):
+        """Pipelined bulk extraction over (raw_bgr | loader, image_id)
+        pairs: decode/preprocess runs in a bounded thread pool
+        (prefetch_workers), ``depth`` device calls stay in flight (async
+        dispatch; only the final device_get blocks), so host decode, H2D
+        staging and device inference all overlap.
+
+        device_batch>1 runs that many images per device program (vmapped
+        pipeline — batched backbone convs); the final partial group pads
+        with a repeat of its last image and drops the padding on output.
+
+        The device_get + host packaging of each result runs in a
+        dedicated fetch thread (fetch_pipelined): on a tunneled chip a
+        fetch costs a ~28 ms round trip + ~30 MB/s, which would otherwise
+        serialize with dispatch on the driver thread (measured: the
+        per-image fetch was ~30% of C4 wall time)."""
+        prepped = prefetch_preprocessed(self.preprocess, items,
+                                        prefetch_workers)
+        if device_batch <= 1:
+            def dispatch1():
+                for image_id, img, (nh, nw), (rh, rw) in prepped:
+                    out = self._jitted(self.params, img,
+                                       jnp.asarray((nh, nw), jnp.int32))
+                    yield (image_id, out, nh, nw, rh, rw)
+            yield from fetch_pipelined(dispatch1(), self._finish, depth)
+            return
+
+        def flush(group):
+            n_real = len(group)
+            while len(group) < device_batch:
+                group.append(group[-1])
+            imgs = jnp.stack([g[1] for g in group])
+            hw = jnp.asarray([g[2] for g in group], jnp.int32)
+            out = self._jitted_batch(self.params, imgs, hw)
+            return n_real, group, out
+
+        def dispatch():
+            group = []
+            for image_id, img, (nh, nw), (rh, rw) in prepped:
+                group.append((image_id, img, (nh, nw), (rh, rw)))
+                if len(group) == device_batch:
+                    yield flush(group)
+                    group = []
+            if group:
+                yield flush(group)
+
+        for recs in fetch_pipelined(dispatch(), self._finish_group, depth):
+            yield from recs
+
+    def _finish_group(self, n_real, group, out):
+        out = jax.device_get(out)
+        recs = []
+        for j in range(n_real):
+            image_id, _, (nh, nw), (rh, rw) = group[j]
+            one = {k: v[j] for k, v in out.items()}
+            recs.append(self._finish(image_id, one, nh, nw, rh, rw))
+        return recs
+
+
+class Extractor36(PipelinedExtractor):
     def __init__(self, params: dict, cfg: ExtractorConfig | None = None):
         self.params = params
         self.cfg = cfg or ExtractorConfig()
@@ -230,28 +310,20 @@ class Extractor36:
         each paying the remote-dispatch round trip on the tunneled chip —
         and compiled per shape anyway (eager ops cache per shape too), so
         fusing them into one cached program is strictly fewer dispatches."""
-        cache = self._pre_cache
-        key = (rh, rw, np.dtype(dtype).str)
-        if key not in cache:
-            # single-flight under the prefetch pool: without the lock two
-            # workers hitting the same fresh shape would build two jit
-            # instances and pay the (minutes-long) remote compile twice
-            with self._pre_lock:
-                if key not in cache:
-                    c = self.cfg
-                    nh, nw = resize_shortest_edge(rh, rw, c.short,
-                                                  c.max_size)
+        def build():
+            c = self.cfg
+            nh, nw = resize_shortest_edge(rh, rw, c.short, c.max_size)
 
-                    def f(raw):
-                        img = raw.astype(jnp.float32)
-                        img = jax.image.resize(img, (nh, nw, 3),
-                                               method="linear")
-                        img = img - jnp.asarray(PIXEL_MEAN_BGR)
-                        pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
-                        return pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w])
+            def f(raw):
+                img = raw.astype(jnp.float32)
+                img = jax.image.resize(img, (nh, nw, 3), method="linear")
+                img = img - jnp.asarray(PIXEL_MEAN_BGR)
+                pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
+                return pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w])
 
-                    cache[key] = (jax.jit(f), (nh, nw))
-        return cache[key]
+            return jax.jit(f), (nh, nw)
+
+        return self._cached_program((rh, rw, np.dtype(dtype).str), build)
 
     def preprocess(self, raw_bgr: np.ndarray):
         """Host: resize + mean-subtract + pad. raw_bgr [H, W, 3] uint8/float
@@ -286,67 +358,6 @@ class Extractor36:
         out = self._jitted(self.params, img,
                            jnp.asarray((nh, nw), jnp.int32))
         return self._finish(image_id, out, nh, nw, rh, rw)
-
-    def extract_many(self, items, *, depth: int = 2, device_batch: int = 1,
-                     prefetch_workers: int = 2):
-        """Pipelined bulk extraction over (raw_bgr | loader, image_id)
-        pairs: decode/preprocess runs in a bounded thread pool
-        (prefetch_workers), ``depth`` device calls stay in flight (async
-        dispatch; only the final device_get blocks), so host decode, H2D
-        staging and device inference all overlap. The reference runs bs=1
-        synchronously (detectron2_proposal_maxnms.py:196).
-
-        device_batch>1 runs that many images per device program (vmapped
-        pipeline — batched backbone convs); the final partial group pads
-        with a repeat of its last image and drops the padding on output.
-
-        The device_get + host packaging of each result runs in a dedicated
-        fetch thread (fetch_pipelined): on a tunneled chip a fetch costs a
-        ~28 ms round trip + ~30 MB/s, which would otherwise serialize with
-        dispatch on the driver thread (measured: the per-image fetch was
-        ~30% of C4 wall time)."""
-        prepped = prefetch_preprocessed(self.preprocess, items,
-                                        prefetch_workers)
-        if device_batch <= 1:
-            def dispatch1():
-                for image_id, img, (nh, nw), (rh, rw) in prepped:
-                    out = self._jitted(self.params, img,
-                                       jnp.asarray((nh, nw), jnp.int32))
-                    yield (image_id, out, nh, nw, rh, rw)
-            yield from fetch_pipelined(dispatch1(), self._finish, depth)
-            return
-
-        def flush(group):
-            n_real = len(group)
-            while len(group) < device_batch:
-                group.append(group[-1])
-            imgs = jnp.stack([g[1] for g in group])
-            hw = jnp.asarray([g[2] for g in group], jnp.int32)
-            out = self._jitted_batch(self.params, imgs, hw)
-            return n_real, group, out
-
-        def dispatch():
-            group = []
-            for image_id, img, (nh, nw), (rh, rw) in prepped:
-                group.append((image_id, img, (nh, nw), (rh, rw)))
-                if len(group) == device_batch:
-                    yield flush(group)
-                    group = []
-            if group:
-                yield flush(group)
-
-        for recs in fetch_pipelined(dispatch(), self._finish_group, depth):
-            yield from recs
-
-    def _finish_group(self, n_real, group, out):
-        out = jax.device_get(out)
-        recs = []
-        for j in range(n_real):
-            image_id, _, (nh, nw), (rh, rw) = group[j]
-            one = {k: v[j] for k, v in out.items()}
-            recs.append(self._finish(image_id, one, nh, nw, rh, rw))
-        return recs
-
 
 class GivenBoxExtractor:
     """Features for externally supplied boxes — the reference's

@@ -30,6 +30,7 @@ from ...data.features import RegionRecord
 from ...ops.nms import batched_nms_fixpoint
 from . import fpn as F
 from . import resnet, rpn
+from .extractor import PipelinedExtractor
 
 
 @dataclasses.dataclass
@@ -80,7 +81,7 @@ def init_x101_params(rng, cfg: X101Config | None = None) -> dict:
     }
 
 
-class ExtractorX101:
+class ExtractorX101(PipelinedExtractor):
     def __init__(self, params: dict, cfg: X101Config | None = None):
         self.params = params
         self.cfg = cfg or X101Config()
@@ -183,28 +184,23 @@ class ExtractorX101:
         Extractor36._preprocess_prog: the eager chain paid ~5 remote
         dispatches per image and compiled per shape anyway)."""
         from .extractor import PIXEL_MEAN_BGR, resize_shortest_edge
-        cache = self._pre_cache
-        key = (rh, rw, np.dtype(dtype).str)
-        if key not in cache:
-            # single-flight under the prefetch pool (see
-            # Extractor36._preprocess_prog)
-            with self._pre_lock:
-                if key not in cache:
-                    c = self.cfg
-                    nh, nw = resize_shortest_edge(rh, rw, c.short,
-                                                  c.max_size)
 
-                    def f(raw):
-                        # BGR->RGB flip BEFORE subtracting the BGR means,
-                        # then resize — the reference's quirk order
-                        img = raw[:, :, ::-1].astype(jnp.float32)
-                        img = img - jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
-                        img = jax.image.resize(img, (nh, nw, 3),
-                                               method="linear")
-                        pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
-                        return pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w])
+        def build():
+            c = self.cfg
+            nh, nw = resize_shortest_edge(rh, rw, c.short, c.max_size)
 
-                    cache[key] = (jax.jit(f), (nh, nw))
+            def f(raw):
+                # BGR->RGB flip BEFORE subtracting the BGR means, then
+                # resize — the reference's quirk order
+                img = raw[:, :, ::-1].astype(jnp.float32)
+                img = img - jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
+                img = jax.image.resize(img, (nh, nw, 3), method="linear")
+                pad = jnp.zeros((c.pad_h, c.pad_w, 3), jnp.float32)
+                return pad.at[:nh, :nw].set(img[:c.pad_h, :c.pad_w])
+
+            return jax.jit(f), (nh, nw)
+
+        return self._cached_program((rh, rw, np.dtype(dtype).str), build)
         return cache[key]
 
     def preprocess(self, raw_bgr: np.ndarray):
@@ -213,7 +209,7 @@ class ExtractorX101:
         img = prog(jnp.asarray(np.ascontiguousarray(raw_bgr)))
         return img, (nh, nw), (rh, rw)
 
-    def _finish(self, image_id, out, nh, rh, rw) -> RegionRecord:
+    def _finish(self, image_id, out, nh, nw, rh, rw) -> RegionRecord:
         out = jax.device_get(out)
         boxes = np.asarray(out["boxes"], np.float32) / (nh / rh)
         return RegionRecord(
@@ -225,65 +221,7 @@ class ExtractorX101:
     def extract(self, raw_bgr: np.ndarray, image_id: str) -> RegionRecord:
         img, (nh, nw), (rh, rw) = self.preprocess(raw_bgr)
         out = self._jitted(self.params, img, jnp.asarray((nh, nw), jnp.int32))
-        return self._finish(image_id, out, nh, rh, rw)
-
-    def extract_many(self, items, *, depth: int = 2, device_batch: int = 1,
-                     prefetch_workers: int = 2):
-        """Pipelined bulk extraction: ``items`` yields (raw_bgr | loader,
-        image_id); decode/preprocess runs in a bounded thread pool and
-        ``depth`` device calls stay in flight so host decode, H2D staging
-        and device inference all overlap (jax dispatch is async; only the
-        final device_get blocks). The reference driver runs bs=1 fully
-        synchronously (extract_features_vmb.py:229-244).
-
-        device_batch>1 additionally runs that many images per device
-        program (vmapped pipeline — batched backbone convs); the final
-        partial group pads with a repeat of its last image and drops the
-        padding on output.
-
-        As in Extractor36.extract_many, the device_get + host packaging of
-        each result runs in a dedicated fetch thread (fetch_pipelined) so
-        the tunnel's ~28 ms D2H round trip overlaps dispatch instead of
-        serializing after it."""
-        from .extractor import fetch_pipelined, prefetch_preprocessed
-        prepped = prefetch_preprocessed(self.preprocess, items,
-                                        prefetch_workers)
-        if device_batch <= 1:
-            def dispatch1():
-                for image_id, img, (nh, nw), (rh, rw) in prepped:
-                    out = self._jitted(self.params, img,
-                                       jnp.asarray((nh, nw), jnp.int32))
-                    yield (image_id, out, nh, rh, rw)
-            yield from fetch_pipelined(dispatch1(), self._finish, depth)
-            return
-
-        def flush(group):
-            n_real = len(group)
-            while len(group) < device_batch:
-                group.append(group[-1])
-            imgs = jnp.stack([g[1] for g in group])
-            hw = jnp.asarray([g[2] for g in group], jnp.int32)
-            out = self._jitted_batch(self.params, imgs, hw)
-            return n_real, group, out
-
-        def dispatch():
-            group = []
-            for image_id, img, (nh, nw), (rh, rw) in prepped:
-                group.append((image_id, img, (nh, nw), (rh, rw)))
-                if len(group) == device_batch:
-                    yield flush(group)
-                    group = []
-            if group:
-                yield flush(group)
-
-        for recs in fetch_pipelined(dispatch(), self._finish_group, depth):
-            yield from recs
-
-    def _finish_group(self, n_real, group, out):
-        out = jax.device_get(out)
-        recs = []
-        for j in range(n_real):
-            image_id, _, (nh, _nw), (rh, rw) = group[j]
-            one = {k: v[j] for k, v in out.items()}
-            recs.append(self._finish(image_id, one, nh, rh, rw))
-        return recs
+        return self._finish(image_id, out, nh, nw, rh, rw)
+    # extract_many / _finish_group: inherited from PipelinedExtractor
+    # (the reference driver runs bs=1 synchronously,
+    # extract_features_vmb.py:229-244)
