@@ -54,6 +54,12 @@ def _train_like(args, mode: str):
         args, cfg, task_cfg, task_cfg.val_split, feat_val,
         annotations_jsonpath=args.val_annotations_jsonpath,
         entry_items=val_items)
+    if (task_cfg.batch_size % optim_cfg.grad_acc_steps
+            or task_cfg.batch_size < optim_cfg.grad_acc_steps):
+        raise SystemExit(
+            f"batch_size {task_cfg.batch_size} must be a positive multiple "
+            f"of --grad_acc_steps {optim_cfg.grad_acc_steps} (silent "
+            f"truncation would change the effective batch)")
     micro_bs = task_cfg.batch_size // optim_cfg.grad_acc_steps
     # HBM-direct training: when the train feature store fits the HBM budget,
     # park it on device once and stream only token ids + store_idx — zero
@@ -94,9 +100,15 @@ def cmd_eval(args):
 
     cfg, task_cfg, _ = C.build_configs(args)
     mod, params = C.build_model(args, cfg)
-    ds = C.build_dataset(args, cfg, task_cfg, args.split,
-                         args.features_path or task_cfg.features_path_train,
-                         annotations_jsonpath=args.annotations_jsonpath)
+    feat = args.features_path or task_cfg.features_path_train
+    # eval over the QA-joined td-lmdb artifact works the same way the
+    # train path does: ingest once into the native store
+    items = None
+    if C.is_tdlmdb(feat):
+        feat, items = C.ingest_tdlmdb(feat, args.output_dir, args.split)
+    ds = C.build_dataset(args, cfg, task_cfg, args.split, feat,
+                         annotations_jsonpath=args.annotations_jsonpath,
+                         entry_items=items)
     _, label2ans = load_answer_vocab(task_cfg.dataroot)
     bank = C.maybe_device_bank(ds, cfg, task_cfg)
     out = f"{args.output_dir}/{args.split}_result.json"
@@ -222,7 +234,6 @@ def _load_image_bgr(path):
 
 
 def cmd_convert_store(args):
-    from . import common as CC
     from ..data import convert_store as cs
     from ..data import tdlmdb as td
     src, dst = args.src, args.dst
@@ -240,7 +251,7 @@ def cmd_convert_store(args):
     elif dst.endswith(".cfs") and os.path.isdir(src) and \
             any(f.endswith(".npy") for f in os.listdir(src)):
         n = cs.npy_to_cfs(src, dst)
-    elif dst.endswith(".cfs") and CC.is_tdlmdb(src):
+    elif dst.endswith(".cfs") and C.is_tdlmdb(src):
         entries_pkl = args.entries_out or dst[:-4] + "_target.pkl"
         n_img, n = td.tdlmdb_to_cfs(src, dst, entries_pkl)
         print(f"converted {n} QA records / {n_img} images: {src} -> {dst} "

@@ -48,7 +48,9 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--clip_grad_norm", type=float, default=1.0)
     p.add_argument("--adam_epsilon", type=float, default=1e-6)
     p.add_argument("--adam_betas", type=float, nargs=2, default=(0.9, 0.999))
-    p.add_argument("--adam_correct_bias", action="store_true", default=True)
+    # reference parity: default False, the launch scripts pass the flag
+    # (train_task.py:131, experiments/.../train.dtu.sh)
+    p.add_argument("--adam_correct_bias", action="store_true", default=False)
     p.add_argument("--optim_train_epochs", type=int, default=20,
                    help="lr-schedule horizon in epochs (reference "
                         "train_task.py:86 — decoupled from --num_epoch)")
@@ -125,9 +127,11 @@ def build_model(args, cfg):
 
 
 def load_pretrained(path: str, cfg, is_m3p: bool):
-    """torch .bin (VOLTA names, incl. HF-remap pipeline) or orbax dir."""
-    from ..utils.convert import (normalize_volta_keys, volta_m3p_to_pytree,
-                                 volta_uc2_to_pytree)
+    """torch .bin (VOLTA names, or a raw HF XLM-R checkpoint — detected
+    by its ``.attention.self.`` keys and renumbered through the UC2
+    sublayer collapse like conversions/convert_uc2.py) or an orbax dir."""
+    from ..utils.convert import (hf_xlmr_to_uc2_pytree, normalize_volta_keys,
+                                 volta_m3p_to_pytree, volta_uc2_to_pytree)
     if os.path.isdir(path):
         from ..train import checkpoints as ckpt
         return ckpt.load_params(os.path.dirname(path) or ".",
@@ -135,6 +139,8 @@ def load_pretrained(path: str, cfg, is_m3p: bool):
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = {k: v.numpy() for k, v in sd.items()}
+    if not is_m3p and any(".attention.self." in k for k in sd):
+        return hf_xlmr_to_uc2_pytree(sd, cfg)
     sd = normalize_volta_keys(sd)
     conv = volta_m3p_to_pytree if is_m3p else volta_uc2_to_pytree
     return conv(sd, cfg)
@@ -174,11 +180,24 @@ def ingest_tdlmdb(td_path: str, cache_dir: str, tag: str):
     store + target-pkl-style entries (cached under ``cache_dir``). Replaces
     the reference's tensorpack streaming of the same artifact
     (gqa_dataset_semantic_code_mix.py:300-344)."""
+    import hashlib
     import pickle
     from ..data.tdlmdb import tdlmdb_to_cfs
     os.makedirs(cache_dir, exist_ok=True)
-    cfs_path = os.path.join(cache_dir, f"ingest_{tag}.cfs")
-    entries_pkl = os.path.join(cache_dir, f"ingest_{tag}_target.pkl")
+    # the cache key carries a source signature (path + size + mtime): a
+    # pre-existing ingest from a DIFFERENT td-lmdb in the same output_dir
+    # must not be silently reused
+    target = td_path
+    if os.path.isdir(td_path):
+        cand = os.path.join(td_path, "data.mdb")
+        if os.path.exists(cand):
+            target = cand
+    st = os.stat(target)
+    sig = hashlib.sha1(
+        f"{os.path.abspath(td_path)}:{st.st_size}:{int(st.st_mtime)}"
+        .encode()).hexdigest()[:10]
+    cfs_path = os.path.join(cache_dir, f"ingest_{tag}_{sig}.cfs")
+    entries_pkl = os.path.join(cache_dir, f"ingest_{tag}_{sig}_target.pkl")
     if not (os.path.exists(cfs_path) and os.path.exists(entries_pkl)):
         n_img, n_q = tdlmdb_to_cfs(td_path, cfs_path, entries_pkl)
         print(f"ingested td-lmdb {td_path}: {n_q} QA pairs / "

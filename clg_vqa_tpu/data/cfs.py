@@ -35,7 +35,7 @@ import struct
 
 import numpy as np
 
-from .features import RegionRecord, pad_regions, process_regions
+from .features import RegionRecord
 
 MAGIC = b"CFS1"
 VERSION = 2
@@ -184,22 +184,8 @@ class CfsReader:
 
     def _gather_py(self, indices, max_regions, num_locs, norm_embeddings,
                    add_global_imgfeat):
-        B = len(indices)
-        Rp = max_regions + int(add_global_imgfeat is not None)
-        fd = None
-        feats_out = None
-        locs_out = np.zeros((B, Rp, num_locs), np.float32)
-        mask_out = np.zeros((B, Rp), np.int32)
-        for i, idx in enumerate(indices):
-            rec = self.get_by_index(int(idx))
-            if feats_out is None:
-                fd = rec.features.shape[1]
-                feats_out = np.zeros((B, Rp, fd), np.float32)
-            f, n, l = process_regions(
-                rec.features, rec.boxes, rec.img_w, rec.img_h,
-                num_locs=num_locs, norm_embeddings=norm_embeddings,
-                add_global_imgfeat=add_global_imgfeat)
-            pf, pl, pm = pad_regions(f, l, n, Rp, feat_dim=fd,
-                                     num_locs=num_locs)
-            feats_out[i], locs_out[i], mask_out[i] = pf, pl, pm
-        return feats_out, locs_out, mask_out
+        from .features import gather_records
+        return gather_records(self.get_by_index, indices,
+                              max_regions=max_regions, num_locs=num_locs,
+                              norm_embeddings=norm_embeddings,
+                              add_global_imgfeat=add_global_imgfeat)

@@ -169,6 +169,35 @@ class AllFeaturesReader:
                 obj_confs, attr_labels, attr_confs, image_attrs)
 
 
+def gather_records(get_by_index, indices, *, max_regions: int,
+                   num_locs: int = 5, norm_embeddings: bool = False,
+                   add_global_imgfeat: str | None = None):
+    """Python batched store gather shared by every RegionRecord store
+    (CfsReader's non-native fallback, LmdbFeatureReader): process + pad
+    each record to fixed (features [B, R', D], locs [B, R', num_locs],
+    mask [B, R']) batch shapes, R' = max_regions (+1 with a global
+    feature)."""
+    B = len(indices)
+    Rp = max_regions + int(add_global_imgfeat is not None)
+    fd = None
+    feats_out = None
+    locs_out = np.zeros((B, Rp, num_locs), np.float32)
+    mask_out = np.zeros((B, Rp), np.int32)
+    for i, idx in enumerate(indices):
+        rec = get_by_index(int(idx))
+        if feats_out is None:
+            fd = rec.features.shape[1]
+            feats_out = np.zeros((B, Rp, fd), np.float32)
+        f, n, l = process_regions(
+            rec.features, rec.boxes, rec.img_w, rec.img_h,
+            num_locs=num_locs, norm_embeddings=norm_embeddings,
+            add_global_imgfeat=add_global_imgfeat)
+        pf, pl, pm = pad_regions(f, l, n, Rp, feat_dim=fd,
+                                 num_locs=num_locs)
+        feats_out[i], locs_out[i], mask_out[i] = pf, pl, pm
+    return feats_out, locs_out, mask_out
+
+
 # ---------------------------------------------------------------------------
 # Readers
 # ---------------------------------------------------------------------------
@@ -189,9 +218,36 @@ class LmdbFeatureReader:
         with self.env.begin(write=False) as txn:
             self.image_ids = pickle.loads(txn.get(b"keys"))
         self.feat_dim = feat_dim
+        self._id2idx: dict[str, int] | None = None
 
     def keys(self):
         return self.image_ids
+
+    # -- store protocol (what GQADataset / DeviceFeatureBank /
+    # -- AllFeaturesReader consume; same surface as CfsReader) ------------
+
+    @property
+    def n_records(self) -> int:
+        return len(self.image_ids)
+
+    @property
+    def id2idx(self) -> dict[str, int]:
+        if self._id2idx is None:
+            self._id2idx = {
+                (k.decode() if isinstance(k, bytes) else str(k)): i
+                for i, k in enumerate(self.image_ids)}
+        return self._id2idx
+
+    def get_by_index(self, idx: int) -> "RegionRecord":
+        return self.get(self.image_ids[int(idx)])
+
+    def gather(self, indices, *, max_regions: int, num_locs: int = 5,
+               norm_embeddings: bool = False,
+               add_global_imgfeat: str | None = None):
+        return gather_records(self.get_by_index, np.asarray(indices),
+                              max_regions=max_regions, num_locs=num_locs,
+                              norm_embeddings=norm_embeddings,
+                              add_global_imgfeat=add_global_imgfeat)
 
     def get(self, image_id) -> RegionRecord:
         import base64

@@ -30,7 +30,13 @@ def make_mesh(n_dp: int | None = None, n_mp: int = 1,
     devices = devices if devices is not None else jax.devices()
     if n_dp is None:
         n_dp = len(devices) // n_mp
-    devs = np.asarray(devices[: n_dp * n_mp]).reshape(n_dp, n_mp)
+    if n_dp < 1 or n_mp < 1 or n_dp * n_mp != len(devices):
+        raise ValueError(
+            f"mesh dp={n_dp} x mp={n_mp} does not tile the "
+            f"{len(devices)} available devices (silently dropping devices "
+            f"or building an empty mesh would fail later with obscure "
+            f"sharding errors)")
+    devs = np.asarray(devices).reshape(n_dp, n_mp)
     return Mesh(devs, axis_names=("dp", "mp"))
 
 
@@ -39,7 +45,6 @@ def _pspec_for(path: tuple[str, ...], leaf) -> P:
     o/w2 row-parallel (shard input dim), embeddings vocab-sharded,
     classifier label-sharded. Everything else replicated."""
     p = "/".join(path)
-    nd = getattr(leaf, "ndim", 0)
     if "encoder/attn" in p:
         col = any(f"/{k}/" in p + "/" for k in ("q", "k", "v"))
         if p.endswith("/w"):
@@ -54,7 +59,7 @@ def _pspec_for(path: tuple[str, ...], leaf) -> P:
         return P("mp", None)
     if "classifier/fc2" in p:
         return P(None, "mp") if p.endswith("/w") else P("mp")
-    return P(*([None] * 0)) if nd == 0 else P()
+    return P()
 
 
 def param_pspecs(params: Any) -> Any:

@@ -126,6 +126,29 @@ def volta_uc2_to_pytree(sd: Mapping[str, np.ndarray], cfg: UC2Config,
     return params
 
 
+def hf_xlmr_to_uc2_pytree(sd: Mapping[str, np.ndarray], cfg: UC2Config,
+                          *, seed: int = 0) -> dict:
+    """Raw HF XLM-R state dict -> UC2 params pytree, via the sublayer
+    collapse renumbering the reference's conversions/convert_uc2.py:26
+    applies (from_pretrained(from_hf=True), utils.py:483-518): HF layer i
+    maps to volta attn sublayer 2i / ff sublayer 2i+1 (exactly
+    uc2_base.json's bert_layer2attn_sublayer / bert_layer2ff_sublayer).
+    Keys the HF checkpoint does not carry (image embeddings, pooler,
+    classifier, token-type) keep a fresh init — the reference's
+    strict=False load behaves the same (missing keys stay initialized)."""
+    import jax
+
+    from ..models import uc2
+    L = cfg.num_layers
+    norm = normalize_volta_keys(
+        sd, from_hf=True,
+        layer2attn={str(i): 2 * i for i in range(L)},
+        layer2ff={str(i): 2 * i + 1 for i in range(L)})
+    base = pytree_to_volta_uc2(uc2.init_params(jax.random.key(seed), cfg))
+    merged = {**base, **{k: v for k, v in norm.items() if k in base}}
+    return volta_uc2_to_pytree(merged, cfg)
+
+
 def pytree_to_volta_uc2(params, task_key: str = "TASK15") -> dict[str, np.ndarray]:
     """Inverse mapping, for exporting checkpoints the reference stack can load
     (including the ``v_`` aliases for shared weights)."""

@@ -47,6 +47,8 @@ def _masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:       # Python's >> never zeroes a negative — would hang
+        raise ValueError(f"varint requires a non-negative int, got {n}")
     out = bytearray()
     while True:
         b = n & 0x7F

@@ -5,4 +5,4 @@ python -m clg_vqa_tpu.cli sft \
   --tasks_config_file "${TASK_CONFIG:-configs/gqa_X101.yml}" \
   --from_pretrained "${PRETRAINED:-checkpoints/m3p_pretrained.bin}" \
   --mask_file "${MASK:-out/m3p_imp/mask_best.npz}" \
-  --output_dir "${OUT:-out/m3p_sft}" --grad_acc_steps 8 --is_m3p --code_mixing "$@"
+  --output_dir "${OUT:-out/m3p_sft}" --grad_acc_steps 8 --adam_correct_bias --is_m3p --code_mixing "$@"

@@ -8,4 +8,4 @@ OUT=${OUT:-out/m3p_gqa}
 python -m clg_vqa_tpu.cli train \
   --config_file "$MODEL_CONFIG" --tasks_config_file "$TASK_CONFIG" \
   --from_pretrained "$PRETRAINED" --output_dir "$OUT" \
-  --grad_acc_steps 8 --is_m3p --seed "${SEED:-0}" "$@"
+  --grad_acc_steps 8 --adam_correct_bias --is_m3p --seed "${SEED:-0}" "$@"

@@ -5,4 +5,4 @@ python -m clg_vqa_tpu.cli sft \
   --tasks_config_file "${TASK_CONFIG:-configs/gqa_boxes36.yml}" \
   --from_pretrained "${PRETRAINED:-checkpoints/uc2_pretrained.bin}" \
   --mask_file "${MASK:-out/uc2_imp/mask_best.npz}" \
-  --output_dir "${OUT:-out/uc2_sft}" --grad_acc_steps 4 --code_mixing "$@"
+  --output_dir "${OUT:-out/uc2_sft}" --grad_acc_steps 4 --adam_correct_bias --code_mixing "$@"

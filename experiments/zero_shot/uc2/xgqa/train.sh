@@ -8,4 +8,4 @@ OUT=${OUT:-out/uc2_gqa}
 python -m clg_vqa_tpu.cli train \
   --config_file "$MODEL_CONFIG" --tasks_config_file "$TASK_CONFIG" \
   --from_pretrained "$PRETRAINED" --output_dir "$OUT" \
-  --grad_acc_steps 4 --seed "${SEED:-0}" "$@"
+  --grad_acc_steps 4 --adam_correct_bias --seed "${SEED:-0}" "$@"

@@ -125,3 +125,56 @@ def test_exported_m3p_loads_into_reference():
             image_attention_mask=torch.from_numpy(g["image_mask"]))
     np.testing.assert_allclose(logits.numpy(), g["logits"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_hf_xlmr_state_dict_loads_via_collapse_renumbering():
+    """A raw HF-style XLM-R state dict (roberta.* names, .attention.self.,
+    per-LAYER numbering) loads through the UC2 sublayer-collapse
+    renumbering (conversions/convert_uc2.py:26 + utils.py:483-518):
+    text-encoder weights land in the right sublayers, parts the HF ckpt
+    lacks keep a fresh init."""
+    import jax
+    import numpy as np
+    from clg_vqa_tpu.config import UC2Config
+    from clg_vqa_tpu.models import uc2
+    from clg_vqa_tpu.utils.convert import (hf_xlmr_to_uc2_pytree,
+                                           pytree_to_volta_uc2)
+    cfg = UC2Config(vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+                    intermediate_size=32, v_feature_size=8, num_locs=5,
+                    pooler_size=16, clf_hidden_size=16, num_labels=4)
+    sd = pytree_to_volta_uc2(uc2.init_params(jax.random.key(1), cfg))
+
+    # invert the volta naming back to HF style for the encoder slice,
+    # doubling values as a provenance marker
+    hf = {}
+    for k, v in sd.items():
+        if ".layer." in k:
+            num = int(k.split(".layer.")[-1].split(".")[0])
+            if "attention_" in k and num % 2 == 0:
+                nk = k.replace(f".layer.{num}.attention_",
+                               f".layer.{num // 2}.attention.")
+            elif num % 2 == 1 and (".intermediate." in k or ".output." in k):
+                nk = k.replace(f".layer.{num}.", f".layer.{num // 2}.")
+            else:
+                continue
+        elif k == "bert.embeddings.word_embeddings.weight":
+            nk = k
+        else:
+            continue
+        hf[nk.replace("bert.", "roberta.")] = np.asarray(v) * 2.0
+
+    out = hf_xlmr_to_uc2_pytree(hf, cfg, seed=0)
+    flat = pytree_to_volta_uc2(out)
+    base = pytree_to_volta_uc2(uc2.init_params(jax.random.key(0), cfg))
+    for k in ("bert.encoder.layer.0.attention_self.query.weight",
+              "bert.encoder.layer.1.intermediate.dense.weight",
+              "bert.encoder.layer.1.output.LayerNorm.weight",
+              "bert.embeddings.word_embeddings.weight"):
+        np.testing.assert_allclose(flat[k], np.asarray(sd[k]) * 2.0,
+                                   rtol=1e-6, err_msg=k)
+    # absent from the HF dict -> fresh seed-0 init preserved
+    for k in ("bert.embeddings.image_embeddings.weight",
+              "bert.t_pooler.dense.weight"):
+        if k in base:
+            np.testing.assert_allclose(flat[k], base[k], rtol=1e-6,
+                                       err_msg=k)

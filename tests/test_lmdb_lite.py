@@ -211,3 +211,39 @@ def test_write_txn_reads_through_committed_store(tmp_path):
         assert t.get(b"b") == b"2"          # pending shadows
     with env.begin() as t:
         assert t.get(b"a") == b"1" and t.get(b"b") == b"2"
+
+
+def test_lmdb_feature_reader_store_protocol(tmp_path):
+    """LmdbFeatureReader exposes the same store surface as CfsReader
+    (n_records / id2idx / get_by_index / gather) so the advertised
+    '--features_path <lmdb dir>' CLI path actually feeds GQADataset and
+    the device bank; gather must be bit-identical to CfsReader's."""
+    from clg_vqa_tpu.data.cfs import CfsReader, CfsWriter
+    from clg_vqa_tpu.data.convert_store import cfs_to_lmdb
+    from clg_vqa_tpu.data.features import LmdbFeatureReader, RegionRecord
+
+    r = np.random.RandomState(6)
+    cfs1 = str(tmp_path / "a.cfs")
+    with CfsWriter(cfs1) as w:
+        for i in range(4):
+            n = r.randint(3, 9)
+            w.add(RegionRecord(
+                f"img{i}", r.randn(n, 2048).astype(np.float32),
+                (r.rand(n, 4) * 100).astype(np.float32), 640.0, 480.0))
+    mdb = str(tmp_path / "b.lmdb")
+    cfs_to_lmdb(cfs1, mdb)
+
+    rd = LmdbFeatureReader(mdb)
+    src = CfsReader(cfs1)
+    assert rd.n_records == 4
+    assert set(rd.id2idx) == set(src.id2idx)
+    got = rd.gather([rd.id2idx[f"img{i}"] for i in range(4)],
+                    max_regions=8, num_locs=5)
+    want = src.gather([src.id2idx[f"img{i}"] for i in range(4)],
+                      max_regions=8, num_locs=5, native=False)
+    for g, w_ in zip(got, want):
+        np.testing.assert_array_equal(g, w_)     # same shared python path
+    native = src.gather([src.id2idx[f"img{i}"] for i in range(4)],
+                        max_regions=8, num_locs=5)
+    for g, w_ in zip(got, native):
+        np.testing.assert_allclose(g, w_, atol=1e-7)

@@ -52,3 +52,10 @@ def test_metrics_logger_emits_tb(tmp_path):
     assert {"train/GQA_loss", "train/GQA_score", "train/GQA_lr",
             "val/GQA_loss", "val/GQA_score"} <= tags
     assert math.isclose(acc.Scalars("val/GQA_score")[0].value, 0.75)
+
+
+def test_varint_rejects_negative():
+    import pytest
+    from clg_vqa_tpu.utils.tb_events import _varint
+    with pytest.raises(ValueError):
+        _varint(-1)                 # would otherwise loop forever

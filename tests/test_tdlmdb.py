@@ -1,6 +1,7 @@
 """td-lmdb (tensorpack LMDBSerializer) ingest: serialization wire format,
 reader/writer roundtrip, the reference h5->tdlmdb join, tdlmdb->CFS ingest,
 and a CLI training step fed directly from a td-lmdb."""
+import glob
 import json
 import os
 import pickle
@@ -208,5 +209,5 @@ def test_cli_train_from_tdlmdb(tmp_path, capsys):
     text = capsys.readouterr().out
     assert "ingested td-lmdb" in text
     assert "Best validation score" in text
-    assert os.path.exists(os.path.join(out, "ingest_train.cfs"))
+    assert glob.glob(os.path.join(out, "ingest_train_*.cfs"))  # source-signed cache key
     assert os.path.isdir(os.path.join(out, "params_best"))

@@ -439,3 +439,12 @@ def test_multichip_sharded_step_matches_single_m3p():
     for pa, pb in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_make_mesh_rejects_non_tiling_shapes():
+    import pytest
+    from clg_vqa_tpu.parallel import mesh as pm
+    with pytest.raises(ValueError, match="does not tile"):
+        pm.make_mesh(n_dp=2, n_mp=3)        # 6 != 8 devices
+    with pytest.raises(ValueError, match="does not tile"):
+        pm.make_mesh(n_mp=16)               # n_dp == 0

@@ -32,18 +32,18 @@ COMMON=(--config_file "$MODEL_CONFIG" --tasks_config_file "$TASK" --seed 0)
 
 echo "=== stage 1/5: fine-tune (semantic prior + CDM) ==="
 python -m clg_vqa_tpu.cli train "${COMMON[@]}" --output_dir "$OUT/train" \
-  --grad_acc_steps "$ACC" --num_epoch "$EPOCHS" --save_every "${SAVE_EVERY:-5}" --code_mixing 2>&1 \
+  --grad_acc_steps "$ACC" --adam_correct_bias --num_epoch "$EPOCHS" --save_every "${SAVE_EVERY:-5}" --code_mixing 2>&1 \
   | tee "$OUT.train.log" || { mkdir -p "$OUT"; mv "$OUT.train.log" "$OUT/"; exit 1; }
 mkdir -p "$OUT"; mv "$OUT.train.log" "$OUT/train.log"
 
 echo "=== stage 2/5: IMP prune ==="
 python -m clg_vqa_tpu.cli prune "${COMMON[@]}" --output_dir "$OUT/prune" \
-  --grad_acc_steps "$ACC" --num_epoch "$EPOCHS" --save_every "${SAVE_EVERY:-5}" --code_mixing 2>&1 \
+  --grad_acc_steps "$ACC" --adam_correct_bias --num_epoch "$EPOCHS" --save_every "${SAVE_EVERY:-5}" --code_mixing 2>&1 \
   | tee "$OUT/prune.log"
 
 echo "=== stage 3/5: SFT from mask_best ==="
 python -m clg_vqa_tpu.cli sft "${COMMON[@]}" --output_dir "$OUT/sft" \
-  --grad_acc_steps "$ACC" --num_epoch "$EPOCHS" --save_every "${SAVE_EVERY:-5}" --code_mixing \
+  --grad_acc_steps "$ACC" --adam_correct_bias --num_epoch "$EPOCHS" --save_every "${SAVE_EVERY:-5}" --code_mixing \
   --mask_file "$OUT/prune/mask_best.npz" 2>&1 | tee "$OUT/sft.log"
 
 echo "=== stage 4/5: eval (SFT best checkpoint) ==="
