@@ -168,7 +168,9 @@ class CfsReader:
         where R' = max_regions (+1 with a global feature).
 
         Uses the C++ gather kernel when available; falls back to the Python
-        path (bit-identical; tested against each other).
+        path (bit-identical on the default path; the norm_embeddings /
+        global-feature reductions accumulate in a different order and are
+        numerically close — tested against each other either way).
         """
         indices = np.asarray(indices, np.int64)
         if native:

@@ -29,8 +29,16 @@ def make_predict_step(forward: Callable, cfg, *, device_bank=None,
     fused_attn: route attention through the Pallas VMEM kernel — wins at
     eval batch sizes (bs>=512) where the [B,H,S,S] probs otherwise ride HBM
     (docs/PERFORMANCE.md eval profile); keep off for small serving batches."""
+    step = jax.jit(_predict_body(forward, cfg, compute_dtype, fused_attn))
+    bank = device_bank.tensors() if device_bank is not None else None
+    return lambda params, batch: step(params, batch, bank)
 
-    @jax.jit
+
+def _predict_body(forward, cfg, compute_dtype, fused_attn):
+    """The one (params, batch, bank) -> argmax step body shared by the
+    single-chip and sharded predict steps (divergent copies previously
+    had to be edited in lockstep)."""
+
     def step(params, batch, bank):
         if bank is not None:
             from ..data.device_bank import DeviceFeatureBank
@@ -42,8 +50,7 @@ def make_predict_step(forward: Callable, cfg, *, device_bank=None,
                          compute_dtype=compute_dtype, **kw)
         return jnp.argmax(logits, axis=-1)
 
-    bank = device_bank.tensors() if device_bank is not None else None
-    return lambda params, batch: step(params, batch, bank)
+    return step
 
 
 def shard_predict_step(forward: Callable, cfg, mesh, params_example,
@@ -61,17 +68,7 @@ def shard_predict_step(forward: Callable, cfg, mesh, params_example,
     only for sharding layout; ``store_idx`` batches work with device_bank
     the same as the single-chip step)."""
     from ..parallel import mesh as pm
-
-    def step(params, batch, bank):
-        if bank is not None:
-            from ..data.device_bank import DeviceFeatureBank
-            f, l, m = DeviceFeatureBank.gather_from(
-                bank, batch.pop("store_idx"))
-            batch = {**batch, "features": f, "locs": l, "image_mask": m}
-        kw = {"fused_attn": True} if fused_attn else {}
-        logits = forward(params, cfg, batch, deterministic=True,
-                         compute_dtype=compute_dtype, **kw)
-        return jnp.argmax(logits, axis=-1)
+    step = _predict_body(forward, cfg, compute_dtype, fused_attn)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     bank = device_bank.tensors() if device_bank is not None else None
@@ -108,7 +105,9 @@ def run_eval(forward: Callable, params, cfg, dataset, label2ans: list, *,
     reference eval loop is fully synchronous (eval_task.py:183-201)."""
     if step is None:
         if fused_attn is None:
-            fused_attn = (compute_dtype is not None and batch_size >= 512
+            # bf16 only: an explicit f32/f16 compute_dtype must take the
+            # XLA parity path, not the Pallas kernel's numeric family
+            fused_attn = (compute_dtype == jnp.bfloat16 and batch_size >= 512
                           and jax.default_backend() == "tpu")
         step = make_predict_step(forward, cfg, device_bank=device_bank,
                                  compute_dtype=compute_dtype,

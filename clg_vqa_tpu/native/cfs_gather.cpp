@@ -9,6 +9,7 @@
 //
 // File layout: see clg_vqa_tpu/data/cfs.py.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -33,9 +34,18 @@ struct RecordView {
   uint32_t n_boxes;
   uint32_t feat_dim;
   float img_w, img_h;
-  const float* features;  // [n_boxes, feat_dim]
-  const float* boxes;     // [n_boxes, 4]
+  // Raw BYTE pointers: v2 records are not 4-byte aligned (the 1-byte
+  // flags field shifts successors), so typed float loads would be UB —
+  // every read goes through memcpy (ldf) or a row memcpy.
+  const uint8_t* features;  // [n_boxes, feat_dim] f32 bytes
+  const uint8_t* boxes;     // [n_boxes, 4] f32 bytes
 };
+
+inline float ldf(const uint8_t* p) {
+  float v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
 
 inline RecordView parse_record(const uint8_t* base, int64_t offset) {
   const uint8_t* p = base + offset;
@@ -47,8 +57,8 @@ inline RecordView parse_record(const uint8_t* base, int64_t offset) {
   std::memcpy(&r.feat_dim, p + 4, 4);
   std::memcpy(&r.img_w, p + 8, 4);
   std::memcpy(&r.img_h, p + 12, 4);
-  r.features = reinterpret_cast<const float*>(p + 16);
-  r.boxes = r.features + size_t(r.n_boxes) * r.feat_dim;
+  r.features = p + 16;
+  r.boxes = r.features + size_t(r.n_boxes) * r.feat_dim * 4;
   return r;
 }
 
@@ -60,7 +70,6 @@ void assemble_one(const RecordView& r, int max_regions_padded, int num_locs,
                   float* locs_out, int32_t* mask_out) {
   const int fd = int(r.feat_dim);
   const int n = int(r.n_boxes);
-  const float inv_w = 1.0f / r.img_w, inv_h = 1.0f / r.img_h;
 
   // The reference materializes [global?; boxes...] / [boxes...; global?] and
   // THEN truncates to the padded region count — so with "last" the global row
@@ -81,27 +90,33 @@ void assemble_one(const RecordView& r, int max_regions_padded, int num_locs,
 
   const int det_off = (add_global == 1) ? 1 : 0;  // 1 = "first"
 
-  // locs
+  // locs — bit-identical to process_regions (features.py): area from the
+  // RAW coords first (like locs[:, -1] computed before the in-place /=),
+  // then coordinate DIVISIONS (not reciprocal multiplies — x/w and
+  // x*(1/w) differ in the last ulp)
+  const float wh = float(double(r.img_w) * double(r.img_h));
   for (int i = 0; i < keep; ++i) {
-    const float* b = r.boxes + size_t(i) * 4;
+    const uint8_t* bp = r.boxes + size_t(i) * 16;
+    float b0 = ldf(bp), b1 = ldf(bp + 4), b2 = ldf(bp + 8),
+          b3 = ldf(bp + 12);
     float* l = locs_out + size_t(det_off + i) * num_locs;
-    float x1 = b[0] * inv_w, y1 = b[1] * inv_h;
-    float x2 = b[2] * inv_w, y2 = b[3] * inv_h;
+    if (num_locs >= 5) l[num_locs - 1] = ((b3 - b1) * (b2 - b0)) / wh;
+    float x1 = b0 / r.img_w, y1 = b1 / r.img_h;
+    float x2 = b2 / r.img_w, y2 = b3 / r.img_h;
     l[0] = x1; l[1] = y1; l[2] = x2; l[3] = y2;
-    if (num_locs >= 5) l[num_locs - 1] = (y2 - y1) * (x2 - x1);
     if (num_locs > 5) { l[4] = x2 - x1; l[5] = y2 - y1; }
   }
-  // features (+ optional L2 norm)
+  // features (+ optional L2 norm): copy the row first (alignment-safe),
+  // then normalize in place on the aligned output
   for (int i = 0; i < keep; ++i) {
-    const float* src = r.features + size_t(i) * fd;
     float* dst = feats_out + size_t(det_off + i) * fd;
+    std::memcpy(dst, r.features + size_t(i) * fd * 4,
+                size_t(fd) * sizeof(float));
     if (norm_embeddings) {
       double ss = 0;
-      for (int j = 0; j < fd; ++j) ss += double(src[j]) * src[j];
+      for (int j = 0; j < fd; ++j) ss += double(dst[j]) * dst[j];
       float inv = 1.0f / float(std::max(std::sqrt(ss), 1e-12));
-      for (int j = 0; j < fd; ++j) dst[j] = src[j] * inv;
-    } else {
-      std::memcpy(dst, src, size_t(fd) * sizeof(float));
+      for (int j = 0; j < fd; ++j) dst[j] *= inv;
     }
   }
   if (norm_embeddings) {
@@ -120,15 +135,17 @@ void assemble_one(const RecordView& r, int max_regions_padded, int num_locs,
     int gslot = (add_global == 1) ? 0 : keep;
     float* gf = feats_out + size_t(gslot) * fd;
     std::vector<double> acc(fd, 0.0);
+    std::vector<float> row(fd);
     for (int i = 0; i < n; ++i) {
-      const float* src = r.features + size_t(i) * fd;
+      std::memcpy(row.data(), r.features + size_t(i) * fd * 4,
+                  size_t(fd) * sizeof(float));     // alignment-safe load
       if (norm_embeddings) {
         double ss = 0;
-        for (int j = 0; j < fd; ++j) ss += double(src[j]) * src[j];
+        for (int j = 0; j < fd; ++j) ss += double(row[j]) * row[j];
         double inv = 1.0 / std::max(std::sqrt(ss), 1e-12);
-        for (int j = 0; j < fd; ++j) acc[j] += src[j] * inv;
+        for (int j = 0; j < fd; ++j) acc[j] += row[j] * inv;
       } else {
-        for (int j = 0; j < fd; ++j) acc[j] += src[j];
+        for (int j = 0; j < fd; ++j) acc[j] += row[j];
       }
     }
     float inv = n > 0 ? 1.0f / float(n) : 0.0f;
@@ -178,11 +195,17 @@ int cfsg_gather(void* hv, const int64_t* offsets, const int64_t* indices,
   auto* h = static_cast<Handle*>(hv);
   if (!h) return -1;
   std::vector<std::thread> threads;
+  std::atomic<int> bad{0};
   int nt = std::max(1, std::min(num_threads, batch));
   auto work = [&](int t) {
     for (int i = t; i < batch; i += nt) {
       RecordView r = parse_record(h->base, offsets[indices[i]]);
-      if (int(r.feat_dim) != feat_dim) continue;  // skip mismatched record
+      if (int(r.feat_dim) != feat_dim) {
+        // mismatched record: report loudly instead of leaving a silent
+        // all-zero row (the Python path raises a shape error here too)
+        bad.fetch_add(1, std::memory_order_relaxed);
+        continue;
+      }
       assemble_one(r, max_regions_padded, num_locs, norm_embeddings != 0,
                    add_global,
                    feats_out + size_t(i) * max_regions_padded * feat_dim,
@@ -193,7 +216,7 @@ int cfsg_gather(void* hv, const int64_t* offsets, const int64_t* indices,
   threads.reserve(nt);
   for (int t = 0; t < nt; ++t) threads.emplace_back(work, t);
   for (auto& th : threads) th.join();
-  return 0;
+  return bad.load() ? -2 : 0;
 }
 
 }  // extern "C"

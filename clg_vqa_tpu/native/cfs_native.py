@@ -46,7 +46,16 @@ def load():
         if so is None:
             _build_failed = True
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError as e:
+            # a stale/incompatible binary must degrade to the Python
+            # fallback, not crash the data pipeline
+            import logging
+            logging.getLogger(__name__).warning(
+                "native CFS library failed to load (%s); python fallback", e)
+            _build_failed = True
+            return None
         lib.cfsg_open.restype = ctypes.c_void_p
         lib.cfsg_open.argtypes = [ctypes.c_char_p]
         lib.cfsg_close.argtypes = [ctypes.c_void_p]
@@ -71,10 +80,13 @@ _handles: dict[str, int] = {}
 def _handle_for(lib, reader) -> int:
     h = _handles.get(reader.path)
     if h is None:
-        h = lib.cfsg_open(reader.path.encode())
-        if not h:
-            raise OSError(f"cfsg_open failed: {reader.path}")
-        _handles[reader.path] = h
+        with _lock:     # prefetch threads race the first open; one mmap
+            h = _handles.get(reader.path)
+            if h is None:
+                h = lib.cfsg_open(reader.path.encode())
+                if not h:
+                    raise OSError(f"cfsg_open failed: {reader.path}")
+                _handles[reader.path] = h
     return h
 
 
@@ -102,6 +114,11 @@ def gather(lib, reader, indices: np.ndarray, *, max_regions: int,
         feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         locs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if ret == -2:
+        raise ValueError(
+            "cfsg_gather: record(s) with a feature dim different from "
+            f"{fd} in the requested batch (mixed/corrupt store) — the "
+            "python path raises a shape error on the same input")
     if ret != 0:
         raise RuntimeError(f"cfsg_gather returned {ret}")
     return feats, locs, mask

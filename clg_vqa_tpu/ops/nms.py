@@ -69,7 +69,7 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     past the number of survivors. Ties broken by lower index (stable, like
     the sorted reference)."""
     n = boxes.shape[0]
-    k = max_outputs or n
+    k = n if max_outputs is None else max_outputs   # 0 is a valid budget
     t = 1.0 if legacy else 0.0
     areas = (jnp.maximum(boxes[:, 2] - boxes[:, 0] + t, 0)
              * jnp.maximum(boxes[:, 3] - boxes[:, 1] + t, 0))

@@ -56,7 +56,11 @@ def _kernel(hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref, *,
             shape3 = (max_bin, wwin, win.shape[-1])
             ry = hbase + jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
             rx = wbase + jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
-            m = (ry >= hs) & (ry < he) & (rx >= ws) & (rx < we)
+            # truncate to max_bin elements from the bin start, exactly like
+            # ops/roi.py's fori_loop (the aligned window can physically
+            # reach up to max_bin+8 columns past ws)
+            m = (ry >= hs) & (ry < jnp.minimum(he, hs + max_bin)) \
+                & (rx >= ws) & (rx < jnp.minimum(we, ws + max_bin))
             win = jnp.where(m, win, neg)
             mx = jnp.max(win, axis=(0, 1))
             out_ref[0, ph, pw, :] = jnp.where(
@@ -73,6 +77,15 @@ def roi_pool_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
     H, W, C = features.shape
     PH, PW = output_size
     R = rois.shape[0]
+    if H < max_bin or W < max_bin + 8:
+        # feature map smaller than the fixed VMEM window: the kernel's
+        # static slice would read out of bounds — use the XLA path (same
+        # semantics, fine at these tiny sizes)
+        from .roi import roi_pool
+        out = roi_pool(jnp.moveaxis(features, -1, 0), rois,
+                       output_size=output_size, spatial_scale=spatial_scale,
+                       max_bin=max_bin)
+        return jnp.moveaxis(out, 1, -1)                 # [R,C,PH,PW]->[R,PH,PW,C]
 
     x1 = jnp.round(rois[:, 0] * spatial_scale).astype(jnp.int32)
     y1 = jnp.round(rois[:, 1] * spatial_scale).astype(jnp.int32)

@@ -49,8 +49,15 @@ def test_native_gather_matches_python(tmp_path, num_locs, norm, glob):
     f_c, l_c, m_c = rd.gather(idx, max_regions=6, num_locs=num_locs,
                               norm_embeddings=norm, add_global_imgfeat=glob)
     np.testing.assert_array_equal(m_c, m_py)
-    np.testing.assert_allclose(l_c, l_py, rtol=1e-5, atol=1e-7)
-    np.testing.assert_allclose(f_c, f_py, rtol=1e-5, atol=1e-6)
+    if not norm and glob is None:
+        # default path is BIT-identical (divisions + raw-coords area in
+        # the kernel, memcpy'd features); norm/global paths accumulate in
+        # a different order and are only numerically close
+        np.testing.assert_array_equal(l_c, l_py)
+        np.testing.assert_array_equal(f_c, f_py)
+    else:
+        np.testing.assert_allclose(l_c, l_py, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(f_c, f_py, rtol=1e-5, atol=1e-6)
 
 
 def test_process_regions_semantics():
