@@ -64,10 +64,12 @@ def main():
         "input_ids": jnp.asarray(
             r.randint(3, cfg.vocab_size, (acc, mbs, T)), jnp.int32),
         "input_mask": jnp.ones((acc, mbs, T), jnp.int32),
-        "features": jnp.asarray(r.randn(acc, mbs, R, 2048), jnp.float32),
-        "locs": jnp.asarray(r.rand(acc, mbs, R, 7), jnp.float32),
+        "features": jnp.asarray(
+            r.randn(acc, mbs, R, cfg.v_feature_size), jnp.float32),
+        "locs": jnp.asarray(r.rand(acc, mbs, R, cfg.num_locs), jnp.float32),
         "image_mask": jnp.ones((acc, mbs, R), jnp.int32),
-        "labels": jnp.asarray(r.randint(0, 1842, (acc, mbs)), jnp.int32),
+        "labels": jnp.asarray(
+            r.randint(0, cfg.num_labels, (acc, mbs)), jnp.int32),
     }
 
     # rbg PRNG: hardware-friendly dropout bits (threefry costs ~20% step time)

@@ -51,6 +51,9 @@ def main():
         cfg, mod, R, nl = UC2Config(), uc2, 36, 7
     r = np.random.RandomState(0)
     tmp = tempfile.mkdtemp()
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, tmp, True)
     path = os.path.join(tmp, "feats.cfs")
     w = CfsWriter(path)
     for i in range(args.n_images):
@@ -81,11 +84,14 @@ def main():
             norm_embeddings=getattr(cfg, "norm_embeddings", False))
         print(f"bank: {bank.nbytes/1e6:.0f} MB on device", file=sys.stderr)
 
-    import jax as _jax
+    # same auto gate as run_eval (eval/runner.py): bf16 (this bench uses
+    # the default bf16 compute dtype) + bs>=512 + tpu; --no_fused forces
+    # the XLA path — the step is built ONCE and reused across both calls
+    import jax.numpy as jnp
     fused = (not args.no_fused and args.bs >= 512
-             and _jax.default_backend() == "tpu")
+             and jax.default_backend() == "tpu")
     step = make_predict_step(mod.forward, cfg, device_bank=bank,
-                             fused_attn=fused)
+                             compute_dtype=jnp.bfloat16, fused_attn=fused)
     # warmup (compile)
     run_eval(mod.forward, params, cfg, ds, label2ans,
              batch_size=args.bs, device_bank=bank, step=step)

@@ -36,6 +36,9 @@ def main():
     r = np.random.RandomState(0)
     cfg = UC2Config()
     tmp = tempfile.mkdtemp()
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, tmp, True)
     path = os.path.join(tmp, "serve.cfs")
     with CfsWriter(path) as w:
         for i in range(args.n_images):
@@ -60,7 +63,8 @@ def main():
         lats.append((time.perf_counter() - t0) * 1e3)
     lats = np.sort(lats)
     print(f"single-request latency (cap={args.cap}): "
-          f"p50={lats[len(lats)//2]:.2f} ms  p95={lats[int(len(lats)*0.95)]:.2f} ms")
+          f"p50={np.percentile(lats, 50):.2f} ms  "
+          f"p95={np.percentile(lats, 95):.2f} ms")
 
     reqs = [(qs[i % args.n], f"img{i % args.n_images}")
             for i in range(args.cap * 50)]

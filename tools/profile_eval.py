@@ -57,12 +57,18 @@ def main():
     print(f"bank: {sum(int(b.nbytes) for b in bank)/1e6:.0f} MB",
           file=sys.stderr)
 
+    # mirror the production auto gate (eval/runner.py): the fused Pallas
+    # attention path is what the real eval loop runs at bs>=512 on TPU —
+    # profiling the XLA path there would show ops production doesn't run
+    fused = args.bs >= 512 and jax.default_backend() == "tpu"
+
     @jax.jit
     def step(params, batch, bank):
         f, l, m = DeviceFeatureBank.gather_from(bank, batch.pop("store_idx"))
         batch = {**batch, "features": f, "locs": l, "image_mask": m}
+        kw = {"fused_attn": True} if fused else {}
         logits = mod.forward(params, cfg, batch, deterministic=True,
-                             compute_dtype=jnp.bfloat16)
+                             compute_dtype=jnp.bfloat16, **kw)
         return jnp.argmax(logits, axis=-1)
 
     @jax.jit

@@ -35,6 +35,8 @@ def top_ops_from_trace(logdir: str, k: int = 30):
         if e.get("ph") == "M" and e.get("name") == "process_name" \
                 and "TPU" in e["args"]["name"]:
             dev_pids.add(e["pid"])
+    if not dev_pids:
+        return None     # non-TPU trace (CPU mesh debug run): no device rows
     for e in evs:
         if e.get("ph") == "M" and e.get("name") == "thread_name" \
                 and e["pid"] in dev_pids and e["args"]["name"] == "XLA Ops":
@@ -56,7 +58,10 @@ def main():
     ap.add_argument("--out", default="/tmp/xprof_train")
     ap.add_argument("--acc", type=int, default=2)
     ap.add_argument("--mbs", type=int, default=128)
-    ap.add_argument("--unroll-accum", action="store_true", default=None)
+    ap.add_argument("--unroll-accum", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="tri-state: default None = model default "
+                         "(UC2 True / M3P False); --no-unroll-accum to A/B")
     args = ap.parse_args()
 
     import jax
@@ -136,7 +141,8 @@ def main():
               file=sys.stderr)
         return
     if res is None:
-        print(f"no xplane.pb found under {args.out}", file=sys.stderr)
+        print(f"no TPU-device trace rows under {args.out} "
+              f"(no *.trace.json.gz, or a non-TPU run)", file=sys.stderr)
         return
     rows, total = res
     print(f"total device op time {total/args.steps:.1f} ms/step "
