@@ -211,3 +211,22 @@ def test_cli_train_from_tdlmdb(tmp_path, capsys):
     assert "Best validation score" in text
     assert glob.glob(os.path.join(out, "ingest_train_*.cfs"))  # source-signed cache key
     assert os.path.isdir(os.path.join(out, "params_best"))
+
+
+def test_ingest_cache_keyed_by_source(tmp_path):
+    """A cached ingest from a DIFFERENT td-lmdb in the same output dir
+    must not be silently reused — the cache key carries the source's
+    path+size+mtime signature."""
+    from clg_vqa_tpu.cli import common as C
+    out = str(tmp_path / "out")
+    a = str(tmp_path / "a.lmdb")
+    b = str(tmp_path / "b.lmdb")
+    td.write_tdlmdb(a, _mk_datapoints(n_img=2, q_per_img=3, seed=0))
+    td.write_tdlmdb(b, _mk_datapoints(n_img=3, q_per_img=3, seed=1))
+    cfs_a, items_a = C.ingest_tdlmdb(a, out, "train")
+    cfs_b, items_b = C.ingest_tdlmdb(b, out, "train")
+    assert cfs_a != cfs_b
+    assert len(items_a) == 6 and len(items_b) == 9
+    # same source again -> same cache entry (no re-ingest)
+    cfs_a2, _ = C.ingest_tdlmdb(a, out, "train")
+    assert cfs_a2 == cfs_a
