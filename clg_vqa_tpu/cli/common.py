@@ -141,6 +141,9 @@ def load_pretrained(path: str, cfg, is_m3p: bool):
     sd = {k: v.numpy() for k, v in sd.items()}
     if not is_m3p and any(".attention.self." in k for k in sd):
         return hf_xlmr_to_uc2_pytree(sd, cfg)
+    if is_m3p and any(k.startswith("module.attentions.") for k in sd):
+        from ..utils.convert import m3p_original_to_pytree
+        return m3p_original_to_pytree(sd, cfg)
     sd = normalize_volta_keys(sd)
     conv = volta_m3p_to_pytree if is_m3p else volta_uc2_to_pytree
     return conv(sd, cfg)

@@ -257,6 +257,26 @@ def volta_m3p_to_pytree(sd: Mapping[str, np.ndarray], cfg,
     return params
 
 
+def m3p_original_to_pytree(sd: Mapping[str, np.ndarray], cfg,
+                           *, seed: int = 0) -> dict:
+    """Original microsoft/M3P pretrained checkpoint (``module.*`` names:
+    attentions.N.q_lin, ffns.N.lin1, layer_norm1/2.N, image_embeddings,
+    pooled_layer — the inventory the reference's conversion notebooks
+    remap, conversions/M3P*.ipynb + m3p_body2volta.json) -> our M3P
+    params pytree. VOLTA's M3P model keeps the original module naming
+    internally (m3p_transformer.py:138-178,668-671), so the body maps by
+    the ``module.`` -> ``bert.encoder.`` prefix; anything the original
+    checkpoint lacks (classifier, extra heads) keeps a fresh init."""
+    import jax
+
+    from ..models import m3p
+    norm = {"bert.encoder." + k[len("module."):]: np.asarray(v)
+            for k, v in sd.items() if k.startswith("module.")}
+    base = pytree_to_volta_m3p(m3p.init_params(jax.random.key(seed), cfg))
+    merged = {**base, **{k: v for k, v in norm.items() if k in base}}
+    return volta_m3p_to_pytree(merged, cfg)
+
+
 def pytree_to_volta_m3p(params, task_key: str = "TASK15") -> dict[str, np.ndarray]:
     sd: dict[str, np.ndarray] = {}
 

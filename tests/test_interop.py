@@ -178,3 +178,34 @@ def test_hf_xlmr_state_dict_loads_via_collapse_renumbering():
         if k in base:
             np.testing.assert_allclose(flat[k], base[k], rtol=1e-6,
                                        err_msg=k)
+
+
+def test_m3p_original_checkpoint_loads():
+    """An original microsoft/M3P checkpoint (module.* names, the inventory
+    the reference's conversion notebooks remap) loads into the M3P pytree:
+    body weights land, absent parts (classifier) keep a fresh init."""
+    import jax
+    import numpy as np
+    from clg_vqa_tpu.config import M3PConfig
+    from clg_vqa_tpu.models import m3p
+    from clg_vqa_tpu.utils.convert import (m3p_original_to_pytree,
+                                           pytree_to_volta_m3p)
+    cfg = M3PConfig(vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+                    intermediate_size=32, v_feature_size=8, num_locs=5,
+                    pooler_size=16, clf_hidden_size=16, num_labels=4)
+    sd = pytree_to_volta_m3p(m3p.init_params(jax.random.key(1), cfg))
+    orig = {("module." + k[len("bert.encoder."):]): np.asarray(v) * 2.0
+            for k, v in sd.items() if k.startswith("bert.encoder.")}
+    out = m3p_original_to_pytree(orig, cfg, seed=0)
+    flat = pytree_to_volta_m3p(out)
+    base = pytree_to_volta_m3p(m3p.init_params(jax.random.key(0), cfg))
+    for k in ("bert.encoder.attentions.0.q_lin.weight",
+              "bert.encoder.ffns.1.lin2.bias",
+              "bert.encoder.image_embeddings.image_embeddings.weight",
+              "bert.encoder.pooled_layer.dense.weight"):
+        np.testing.assert_allclose(flat[k], np.asarray(sd[k]) * 2.0,
+                                   rtol=1e-6, err_msg=k)
+    for k in flat:
+        if k.startswith("clfs_dict."):
+            np.testing.assert_allclose(flat[k], base[k], rtol=1e-6,
+                                       err_msg=k)
