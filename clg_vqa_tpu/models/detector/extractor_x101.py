@@ -104,25 +104,17 @@ class ExtractorX101(PipelinedExtractor):
         self._pre_cache = {}
         self._pre_lock = threading.Lock()
 
-    def _pipeline(self, params, image, valid_hw):
+    def _propose(self, params, pyr, valid_hw):
+        """RPN proposal stage over the FPN pyramid, mirroring the
+        reference's RPNPostProcessor inference path
+        (modeling/rpn/inference.py:73-175): per-level pre-NMS top-k +
+        legacy decode/clip, then ONE batched fixpoint NMS over all 5
+        levels (exact per-level greedy, no sequential recurrences) and a
+        merged fpn_post_nms top-k. Returns (proposals [post, 4],
+        scores [post] logits, valid [post]). Tested composed against the
+        reference's own RPNPostProcessor
+        (tests/test_x101_composed_backbone_parity.py)."""
         c = self.cfg
-        if c.bf16:
-            bb = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
-                              if x.dtype == jnp.float32 else x,
-                              {"backbone": params["backbone"],
-                               "fpn": params["fpn"]})
-            params = {**params, **bb}
-            image = image.astype(jnp.bfloat16)
-        # STRIDE_IN_1X1 False (detectron_model.yaml: "default True for
-        # MSRA; False for C2 or Torch models") — stride lives in the 3x3
-        stages = resnet.backbone_stages(image[None], params["backbone"],
-                                        groups=c.groups, caffe_pool=False,
-                                        stride_in_1x1=False)
-        pyr = F.fpn(stages, params["fpn"])
-
-        # per-level pre-NMS candidates (top-k + decode + clip), then ONE
-        # batched fixpoint NMS over all 5 levels (exact per-level greedy,
-        # no sequential per-level recurrences)
         cand_boxes, cand_scores = [], []
         for lvl, (feat, anchors, stride) in enumerate(
                 zip(pyr, self._anchors, self._strides)):
@@ -156,6 +148,25 @@ class ExtractorX101(PipelinedExtractor):
         top_s, top_i = jax.lax.top_k(merged, c.post_nms_topk)
         proposals = lvl_boxes.reshape(-1, 4)[top_i]
         pvalid = jnp.isfinite(top_s)
+        return proposals, top_s, pvalid
+
+    def _pipeline(self, params, image, valid_hw):
+        c = self.cfg
+        if c.bf16:
+            bb = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                              if x.dtype == jnp.float32 else x,
+                              {"backbone": params["backbone"],
+                               "fpn": params["fpn"]})
+            params = {**params, **bb}
+            image = image.astype(jnp.bfloat16)
+        # STRIDE_IN_1X1 False (detectron_model.yaml: "default True for
+        # MSRA; False for C2 or Torch models") — stride lives in the 3x3
+        stages = resnet.backbone_stages(image[None], params["backbone"],
+                                        groups=c.groups, caffe_pool=False,
+                                        stride_in_1x1=False)
+        pyr = F.fpn(stages, params["fpn"])
+
+        proposals, top_s, pvalid = self._propose(params, pyr, valid_hw)
 
         # single flattened-pyramid RoIAlign pass (each box samples only its
         # assigned level) on the bf16 pyramid, fp32 accumulation; fc6/fc7 as

@@ -127,3 +127,115 @@ def test_x101_backbone_fpn_composed_parity():
         np.testing.assert_allclose(
             np.asarray(j), np.transpose(t.numpy(), (0, 2, 3, 1)),
             rtol=1e-4, atol=1e-4, err_msg=f"pyramid P{lvl + 2}")
+
+
+def _legacy_nms_numpy(boxes, scores, thresh):
+    """Greedy NMS with the Detectron +1 IoU (csrc/cpu/nms_cpu.cpp) — the
+    _C.nms stand-in for running the reference's python inference path."""
+    b = boxes.numpy()
+    s = scores.numpy()
+    order = np.argsort(-s, kind="stable")
+    areas = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+    keep = []
+    alive = np.ones(len(s), bool)
+    for i in order:
+        if not alive[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(b[i, 0], b[:, 0])
+        yy1 = np.maximum(b[i, 1], b[:, 1])
+        xx2 = np.minimum(b[i, 2], b[:, 2])
+        yy2 = np.minimum(b[i, 3], b[:, 3])
+        inter = (np.maximum(xx2 - xx1 + 1, 0) * np.maximum(yy2 - yy1 + 1, 0))
+        iou = inter / (areas[i] + areas - inter)
+        alive &= iou <= thresh
+    return torch.as_tensor(np.asarray(keep, np.int64))
+
+
+def test_x101_rpn_proposals_composed_parity(monkeypatch):
+    """Our extractor's RPN proposal stage == the reference's own
+    RPNPostProcessor (inference.py), run on identical random feature
+    maps with converted head weights, their AnchorGenerator, and a
+    numpy legacy NMS standing in for _C.nms."""
+    # the 2019-era reference uses the np.float alias removed in numpy>=1.24
+    monkeypatch.setattr(np, "float", float, raising=False)
+    _import_ref_backbone()                 # installs the _C stub + path
+    sys.modules["maskrcnn_benchmark._C"].nms = _legacy_nms_numpy
+    import maskrcnn_benchmark.structures.boxlist_ops as blo
+    blo._box_nms = _legacy_nms_numpy       # module already bound the name
+    from maskrcnn_benchmark.modeling.box_coder import BoxCoder
+    from maskrcnn_benchmark.modeling.rpn.anchor_generator import (
+        AnchorGenerator)
+    from maskrcnn_benchmark.modeling.rpn.inference import RPNPostProcessor
+    from maskrcnn_benchmark.structures.image_list import ImageList
+    import math as _math
+
+    import jax
+    import jax.numpy as jnp
+    from clg_vqa_tpu.models.detector.extractor_x101 import (ExtractorX101,
+                                                            X101Config,
+                                                            init_x101_params)
+
+    H, W, CH = 64, 96, 24
+    cfg = X101Config(num_boxes=10, pre_nms_topk=200, post_nms_topk_level=200,
+                     post_nms_topk=150, pad_h=H, pad_w=W, short=H,
+                     max_size=W, bf16=False, fpn_channels=CH)
+    params = init_x101_params(jax.random.key(0), cfg)
+    ex = ExtractorX101(params, cfg)
+
+    r = np.random.RandomState(4)
+    pyr = [jnp.asarray(r.randn(1, -(-H // s), -(-W // s), CH)
+                       .astype(np.float32) * 0.5)
+           for s in ex._strides]
+    props, scores, pvalid = jax.jit(ex._propose)(
+        params, pyr, jnp.asarray((H, W), jnp.int32))
+    props = np.asarray(props)[np.asarray(pvalid)]
+    scores = np.asarray(scores)[np.asarray(pvalid)]
+
+    # ---- reference side: same head weights, their anchors + postprocess
+    import torch.nn.functional as TF
+    wc = torch.from_numpy(np.transpose(
+        np.asarray(params["rpn"]["conv"]["w"]), (3, 2, 0, 1)))
+    bc = torch.from_numpy(np.asarray(params["rpn"]["conv"]["b"]))
+    wo = torch.from_numpy(np.transpose(
+        np.asarray(params["rpn"]["objectness"]["w"]), (3, 2, 0, 1)))
+    bo = torch.from_numpy(np.asarray(params["rpn"]["objectness"]["b"]))
+    wd = torch.from_numpy(np.transpose(
+        np.asarray(params["rpn"]["deltas"]["w"]), (3, 2, 0, 1)))
+    bd = torch.from_numpy(np.asarray(params["rpn"]["deltas"]["b"]))
+    objs, regs = [], []
+    for f in pyr:
+        t = torch.from_numpy(np.transpose(np.asarray(f), (0, 3, 1, 2)))
+        h = TF.relu(TF.conv2d(t, wc, bc, padding=1))
+        # their head emits (N, A, H, W); ours is NHWC with A-last — the
+        # permute inside forward_for_single_feature_map matches our
+        # H,W,A flatten
+        objs.append(TF.conv2d(h, wo, bo))
+        regs.append(TF.conv2d(h, wd, bd))
+    gen = AnchorGenerator(sizes=tuple((s,) for s in ex._sizes),
+                          aspect_ratios=(0.5, 1.0, 2.0),
+                          anchor_strides=tuple(ex._strides),
+                          straddle_thresh=0)
+    imgs = ImageList(torch.zeros(1, 3, H, W), [(H, W)])
+    anchors = gen(imgs, objs)
+    post = RPNPostProcessor(pre_nms_top_n=cfg.pre_nms_topk,
+                            post_nms_top_n=cfg.post_nms_topk_level,
+                            nms_thresh=cfg.rpn_nms_thresh, min_size=0,
+                            box_coder=BoxCoder(
+                                weights=(1.0, 1.0, 1.0, 1.0),
+                                bbox_xform_clip=_math.log(1000.0 / 16)),
+                            fpn_post_nms_top_n=cfg.post_nms_topk)
+    post.eval()
+    with torch.no_grad():
+        ref = post(anchors, objs, regs)[0]
+    ref_boxes = ref.bbox.numpy()
+    ref_scores = ref.get_field("objectness").numpy()
+
+    assert len(ref_boxes) == len(props), (len(ref_boxes), len(props))
+    # ours carries logits, theirs sigmoid probs — same order; compare the
+    # box SETS sorted by score
+    o = np.argsort(-scores, kind="stable")
+    q = np.argsort(-ref_scores, kind="stable")
+    np.testing.assert_allclose(props[o], ref_boxes[q], rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(1.0 / (1.0 + np.exp(-scores[o])),
+                               ref_scores[q], rtol=1e-4, atol=1e-6)
