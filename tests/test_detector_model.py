@@ -173,20 +173,33 @@ def test_select_top_by_class_nms_matches_reference_loop():
     logits = r.randn(N, C + 1).astype(np.float32)
     probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
 
-    # reference loop
-    import sys
-    sys.path.insert(0, "tests")
-    from test_detector_ops import np_nms
+    # reference loop — with the maskrcnn-benchmark legacy (+1 IoU) NMS the
+    # extraction driver actually imports (extract_features_vmb.py:18)
+    def legacy_nms(b, s, thresh):
+        order = np.argsort(-s, kind="stable")
+        areas = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+        keep, alive = [], np.ones(len(s), bool)
+        for i in order:
+            if not alive[i]:
+                continue
+            keep.append(i)
+            inter = (np.maximum(np.minimum(b[i, 2], b[:, 2])
+                                - np.maximum(b[i, 0], b[:, 0]) + 1, 0)
+                     * np.maximum(np.minimum(b[i, 3], b[:, 3])
+                                  - np.maximum(b[i, 1], b[:, 1]) + 1, 0))
+            alive &= inter / (areas[i] + areas - inter) <= thresh
+        return np.asarray(keep)
+
     max_conf = np.zeros(N)
     for cls_ind in range(1, C + 1):
         cls_scores = probs[:, cls_ind]
-        keep = np_nms(boxes, cls_scores, 0.5)
+        keep = legacy_nms(boxes, cls_scores, 0.5)
         sel = (cls_scores[keep] > max_conf[keep]) & (cls_scores[keep] > 0)
         max_conf[keep] = np.where(sel, cls_scores[keep], max_conf[keep])
     ref_order = np.argsort(-max_conf, kind="stable")[:10]
 
     order, conf, objects = select_top_by_class_nms(
-        jnp.asarray(boxes), jnp.asarray(probs), num_keep=10)
+        jnp.asarray(boxes), jnp.asarray(probs), num_keep=10, legacy=True)
     np.testing.assert_allclose(np.sort(np.asarray(conf))[::-1],
                                np.sort(max_conf[ref_order])[::-1], rtol=1e-5)
     # same set of confidences => same boxes chosen (order may tie-break)
