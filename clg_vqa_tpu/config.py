@@ -156,14 +156,27 @@ class M3PConfig:
 
     @classmethod
     def from_json(cls, path: str, num_labels: int = 1842) -> "M3PConfig":
+        """Ingest an M3P-style VOLTA json. Key-absent defaults follow the
+        REFERENCE'S config defaults (e.g. norm_embeddings False,
+        volta/config.py:284) — the shipped m3p_base.json sets it True,
+        which is also this dataclass's recipe-convenience default; the
+        asymmetry is deliberate. The reference hardcodes the FFN width to
+        4*dim (m3p_transformer.py:640), so a json that contradicts that
+        is rejected loudly instead of silently mis-modelled."""
         with open(path) as f:
             d = json.load(f)
+        inter = d.get("intermediate_size", 4 * d["hidden_size"])
+        if inter != 4 * d["hidden_size"]:
+            raise ValueError(
+                f"M3P FFN width is hardcoded to 4*hidden in the reference "
+                f"(m3p_transformer.py:640); config says {inter} != "
+                f"{4 * d['hidden_size']}")
         return cls(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
             num_layers=d.get("n_layers", 12),
             num_heads=d.get("n_heads", 12),
-            intermediate_size=d.get("intermediate_size", 4 * d["hidden_size"]),
+            intermediate_size=inter,
             max_position_embeddings=d["max_position_embeddings"],
             pad_token_id=d["pad_token_id"],
             dropout=d.get("hidden_dropout_prob", 0.1),

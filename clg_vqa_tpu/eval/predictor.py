@@ -53,6 +53,14 @@ class Predictor:
         return self.predict_batch([(question, image_id)])[0]
 
     def predict_batch(self, requests: list[tuple[str, str]]) -> list[dict]:
+        # validate up front: a bad id mid-batch must not discard the
+        # already-computed chunks
+        unknown = [img for _, img in requests
+                   if str(img) not in self.bank.id2idx]
+        if unknown:
+            raise ValueError(
+                f"unknown image_id(s) not in the serving feature bank: "
+                f"{unknown[:5]}{'...' if len(unknown) > 5 else ''}")
         out = []
         for s in range(0, len(requests), self.cap):
             chunk = requests[s:s + self.cap]

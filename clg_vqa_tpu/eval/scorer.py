@@ -10,16 +10,25 @@ import json
 
 
 def evaluate(preds_list: list[dict], truth_dict: dict) -> float:
+    # qids are matched as STRINGS on both sides (json truth keys are str;
+    # in-process int-keyed dicts must score, not silently miss)
+    truth = {str(k): v for k, v in truth_dict.items()}
     score, count = 0.0, 0
     for entry in preds_list:
-        qid = str(entry["questionId"])
-        rec = truth_dict.get(qid)
+        rec = truth.get(str(entry["questionId"]))
         if rec is None:
             continue
         if entry["prediction"] == rec["answer"]:
             score += 1.0
         count += 1
-    return score / count if count else 0.0
+    if count == 0:
+        # a wrong/mismatched truth file must fail loudly, not print 0% —
+        # the reference dies on the same input (ZeroDivisionError,
+        # GQA_score.py:20)
+        raise ValueError(
+            "no prediction questionId matched the truth file — wrong "
+            "--truth_file or disjoint splits?")
+    return score / count
 
 
 def evaluate_files(preds_file: str, truth_file: str) -> float:

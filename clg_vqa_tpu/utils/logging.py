@@ -44,12 +44,12 @@ class MetricsLogger:
         self._emit({"kind": "train", "epoch": epoch,
                     "step": self.global_step, "loss": loss, "score": score,
                     "lr": lr, **({"qa_per_sec": qa_per_sec}
-                                 if qa_per_sec else {})})
+                                 if qa_per_sec is not None else {})})
 
     def show_train(self, epoch: int) -> str:
         if self._tr["n"] == 0:      # nothing accumulated since last show
             return ""
-        n = max(self._tr["n"], 1)
+        n = self._tr["n"]
         msg = (f"[{self.task}] epoch {epoch} step {self.global_step} "
                f"loss {self._tr['loss']/n:.4f} score {self._tr['score']/n:.4f} "
                f"({time.time()-self.t0:.0f}s)")
@@ -96,10 +96,21 @@ class MetricsLogger:
             self._txt.flush()
 
     def state_dict(self) -> dict[str, Any]:
-        return {"global_step": self.global_step}
+        # full logger state rides checkpoints like the reference's pickled
+        # tbLogger: accumulators + elapsed time, so the first post-resume
+        # show_train covers pre-preemption steps and the seconds column
+        # doesn't restart at 0
+        return {"global_step": self.global_step, "tr": dict(self._tr),
+                "va": dict(self._va), "elapsed": time.time() - self.t0}
 
     def load_state_dict(self, d: dict):
         self.global_step = d.get("global_step", 0)
+        if "tr" in d:
+            self._tr = dict(d["tr"])
+        if "va" in d:
+            self._va = dict(d["va"])
+        if "elapsed" in d:
+            self.t0 = time.time() - float(d["elapsed"])
 
     def close(self):
         for f in (self._jsonl, self._txt, self._tb):
