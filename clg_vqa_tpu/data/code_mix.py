@@ -64,9 +64,22 @@ class CodeMixer:
 
     def __call__(self, question: str, sample_key: int = 0) -> str:
         if self.reference_reseed:
-            rng = random.Random(self.seed)
+            # bit-for-bit quirk reproduction: the reference reseeds TWO
+            # global streams per preprocessing call (random.seed +
+            # np.random.seed, gqa_dataset_semantic_code_mix.py:566-571)
+            # and draws the ratio/cross gates from NUMPY while language
+            # and candidate indices come from PYTHON random
+            # (lines 660-678) — a single stream would pick different
+            # languages/candidates
+            import numpy as _np
+            np_rng = _np.random.RandomState(self.seed)
+            py_rng = random.Random(self.seed)
+            gate = np_rng.rand
+            pick = py_rng.randint
         else:
             rng = random.Random((self.seed << 32) ^ hash(sample_key) & 0xFFFFFFFF)
+            gate = rng.random
+            pick = rng.randint
         mixed = []
         n_langs = len(self.word_dicts["languages"])
         for token in question.split():
@@ -75,13 +88,14 @@ class CodeMixer:
             # do_code_mix, which returns it unchanged on miss; line 671-678)
             token = token.lower()
             # per-token draws: sentence-level gate (ratio) then token-level
-            # (cross) — the reference draws both per token
-            enabled = self.ratio >= rng.random()
-            if enabled and self.cross >= rng.random():
-                lan = rng.randint(0, n_langs - 1)
+            # (cross) — the reference draws both per token; the cross gate
+            # is short-circuited when ratio fails (do_code_mix's `not
+            # disable and ...`)
+            if self.ratio >= gate() and self.cross >= gate():
+                lan = pick(0, n_langs - 1)
                 lut = self.word_dicts["src2tgt"][lan]
                 if token in lut:
                     cands = lut[token]
-                    token = cands[rng.randint(0, len(cands) - 1)]
+                    token = cands[pick(0, len(cands) - 1)]
             mixed.append(token)
         return " ".join(mixed).replace(" ?", "?")

@@ -126,6 +126,11 @@ class GQADataset:
     def __len__(self):
         return len(self.entries)
 
+    def set_epoch(self, epoch: int):
+        """Vary the code-mix realization across epochs (the augmentation
+        seed folds (question_id, epoch)); no-op without a mixer."""
+        self._epoch = int(epoch)
+
     def _tokens(self, i: int):
         from .tokenizer import encode_padded
         if i in self._tok_cache:
@@ -133,7 +138,8 @@ class GQADataset:
         e = self.entries[i]
         q = e.question
         if self.code_mixer is not None:
-            q = self.code_mixer(q, sample_key=e.question_id)
+            q = self.code_mixer(
+                q, sample_key=(e.question_id, getattr(self, "_epoch", 0)))
         return encode_padded(self.tokenizer, q, self.max_seq_length)
 
     def make_batch(self, indices: list[int], *,
@@ -160,8 +166,15 @@ class GQADataset:
             qids[j] = e.question_id
             store_idx[j] = id2idx[str(e.image_id)]
             if e.labels:
-                # GQA is single-label; reference argmaxes the one-hot target
-                labels[j] = e.labels[int(np.argmax(e.scores))]
+                # GQA is single-label with scores == [1.0]; we take the
+                # max-SCORE label. NOTE a documented divergence for
+                # soft-score targets: the reference argmaxes target.long()
+                # (scores floored to int), so any max score < 1.0 makes it
+                # train toward label-id 0 — we treat that as a bug and use
+                # the max-score label; identical on all shipped GQA/xGQA
+                # pkls (scores are exactly 1.0).
+                scores = e.scores if e.scores else [1.0] * len(e.labels)
+                labels[j] = e.labels[int(np.argmax(scores))]
                 has_label[j] = 1.0
         out = {
             "input_ids": ids, "input_mask": imask,
@@ -179,11 +192,14 @@ class GQADataset:
         return out
 
     def iter_batches(self, batch_size: int, *, shuffle: bool = False,
-                     seed: int = 0, drop_remainder: bool = False,
+                     seed: int = 0, epoch: int = 0,
+                     drop_remainder: bool = False,
                      pad_final: bool = True, with_features: bool = True):
         order = np.arange(len(self.entries))
         if shuffle:
-            np.random.RandomState(seed).shuffle(order)
+            # fold the epoch like TrainPipeline._epoch_order — a fixed
+            # seed alone replays the identical permutation every epoch
+            np.random.RandomState(seed + epoch).shuffle(order)
         for s in range(0, len(order), batch_size):
             chunk = order[s:s + batch_size].tolist()
             if len(chunk) < batch_size:

@@ -78,6 +78,8 @@ class TrainPipeline:
         (deterministic, seed+epoch-keyed) order — the resume cursor for
         step-granular preemption recovery: the skipped prefix is exactly
         the data an interrupted run already consumed."""
+        if hasattr(self.ds, "set_epoch"):
+            self.ds.set_epoch(epoch)    # epoch-varying augmentation (CDM)
         order = self._epoch_order(epoch)
         span = self.mbs * self.acc
         n_steps = len(order) // span if self.drop_remainder else \

@@ -86,12 +86,23 @@ def build_embedding_distances(label2ans: list[str],
 def load_glove_vectors(path: str, *, vocab: set[str] | None = None
                        ) -> dict[str, np.ndarray]:
     vectors: dict[str, np.ndarray] = {}
+    dim = None
     with open(path, encoding="utf8") as f:
         for line in f:
             parts = line.rstrip().split(" ")
-            if vocab is not None and parts[0] not in vocab:
+            if dim is None:
+                dim = len(parts) - 1
+            # split from the RIGHT: standard GloVe releases contain
+            # entries whose "word" itself has spaces (glove.840B has
+            # '. . .', 'name@domain.com …'); left-splitting feeds text
+            # into the float parse
+            word = " ".join(parts[:-dim])
+            if vocab is not None and word not in vocab:
                 continue
-            vectors[parts[0]] = np.asarray(parts[1:], np.float32)
+            try:
+                vectors[word] = np.asarray(parts[-dim:], np.float32)
+            except ValueError:
+                continue        # malformed line — skip, don't abort
     return vectors
 
 

@@ -187,7 +187,9 @@ class FinetuneRunner:
         for b in self.val_ds.iter_batches(self.eval_bs,
                                           with_features=bank is None):
             b.pop("question_id", None)
-            b.pop("has_label", None)
+            # has_label stays: out-of-vocab answers (labels=[]) must not
+            # score as "correct when argmax==0" (eval/runner masks the
+            # same way)
             cache.append(jax.device_put(
                 {k: jnp.asarray(v) for k, v in b.items()}))
         self._val_cache = cache

@@ -283,12 +283,16 @@ def make_eval_step(model_forward: Callable, cfg, *,
         ce = -jnp.take_along_axis(logp, batch["labels"][:, None], -1)[:, 0]
         valid = batch.get("valid",
                           jnp.ones_like(batch["labels"], jnp.float32))
-        n = jnp.maximum(jnp.sum(valid), 1.0)
-        loss = cfg.num_labels * jnp.sum(ce * valid) / n
+        # score/loss only over LABELED rows: entries whose answer is
+        # outside the 1842 vocab carry labels=0/has_label=0 and must not
+        # count argmax==0 as correct (same masking as eval/runner.py)
+        lab = valid * batch.get("has_label", jnp.ones_like(valid))
+        n = jnp.maximum(jnp.sum(lab), 1.0)
+        loss = cfg.num_labels * jnp.sum(ce * lab) / n
         correct = jnp.sum(
             (jnp.argmax(logits, -1) == batch["labels"]).astype(jnp.float32)
-            * valid)
-        return {"loss": loss, "correct": correct, "count": jnp.sum(valid),
+            * lab)
+        return {"loss": loss, "correct": correct, "count": jnp.sum(lab),
                 "pred": jnp.argmax(logits, -1)}
 
     return eval_step
