@@ -110,7 +110,8 @@ def dropout(x: jnp.ndarray, rate: float, rng, deterministic: bool) -> jnp.ndarra
     t = int(round((1.0 - rate) * 256.0))
     if t >= 256:        # rate below u8 granularity (< 1/512): keep all
         return x
-    t = max(t, 1)
+    if t <= 0:          # rate ~1.0: torch Dropout(p=1) emits exact zeros
+        return jnp.zeros_like(x)
     bits = jax.random.bits(rng, x.shape, jnp.uint8)
     return jnp.where(bits < t, x * (256.0 / t), 0.0)
 
@@ -226,6 +227,18 @@ def multi_head_attention(
 # init_weights: normal(0, initializer_range) for Linear/Embedding,
 # LN scale=1 bias=0; SimpleClassifier uses xavier_uniform).
 # ---------------------------------------------------------------------------
+
+def classifier_head(pooled: jnp.ndarray, p: Params, *, dropout_rate: float,
+                    ln_eps: float, rng=None, deterministic: bool = True,
+                    compute_dtype=None) -> jnp.ndarray:
+    """SimpleClassifier (volta encoders.py: dropout -> fc1 -> GeLU -> LN
+    -> fc2) — one implementation shared by UC2 and M3P (the reference
+    instantiates the same module for both)."""
+    pooled = dropout(pooled, dropout_rate, rng, deterministic)
+    h = gelu(linear(pooled, p["fc1"], compute_dtype))
+    h = layer_norm(h, p["ln"]["scale"], p["ln"]["bias"], ln_eps)
+    return linear(h, p["fc2"], compute_dtype)
+
 
 def init_linear(rng, d_in: int, d_out: int, std: float) -> Params:
     return {

@@ -163,13 +163,11 @@ def forward(params: Params, cfg: M3PConfig, batch: dict, *,
                        rng=None if rng is None else jax.random.fold_in(rng, 2),
                        compute_dtype=compute_dtype, remat=remat,
                        unroll=unroll, fused_attn=fused_attn)
-    pooled = L.dropout(
-        pooled, cfg.clf_dropout_prob,
-        None if rng is None else jax.random.fold_in(rng, 3), deterministic)
-    c = params["classifier"]
-    h = L.gelu(L.linear(pooled, c["fc1"], compute_dtype))
-    h = L.layer_norm(h, c["ln"]["scale"], c["ln"]["bias"], cfg.layer_norm_eps)
-    return L.linear(h, c["fc2"], compute_dtype)
+    return L.classifier_head(
+        pooled, params["classifier"], dropout_rate=cfg.clf_dropout_prob,
+        ln_eps=cfg.layer_norm_eps,
+        rng=None if rng is None else jax.random.fold_in(rng, 3),
+        deterministic=deterministic, compute_dtype=compute_dtype)
 
 
 def num_params(params: Params) -> int:

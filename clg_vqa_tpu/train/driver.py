@@ -220,7 +220,7 @@ class FinetuneRunner:
 
     def _train_epoch(self, state, step_fn, epoch, *, log_every=20,
                      start_step=0, best=-1.0, grad_mask=None,
-                     on_best=None):
+                     on_best=None, lr_step_base: int = 0):
         """Returns (state, best). A mid-epoch eval (eval_steps cadence)
         that improves on `best` updates it and calls on_best(state) — the
         reference saves its best checkpoint mid-epoch too
@@ -249,8 +249,12 @@ class FinetuneRunner:
             inflight.clear()
             fetched = jax.device_get([m for _, m in chunk])
             for (j, _), m in zip(chunk, fetched):
+                # lr table is indexed by the OPTIMIZER step count, which
+                # persists across epochs (lr_step_base); `j` alone would
+                # re-log the warmup ramp every epoch
                 self.logger.step_train(epoch, float(m["loss"]),
-                                       float(m["score"]), self._lr_of(j))
+                                       float(m["score"]),
+                                       self._lr_of(lr_step_base + j))
             if log_every:
                 self.logger.show_train(epoch)
 
@@ -371,7 +375,8 @@ class FinetuneRunner:
             state, best = self._train_epoch(
                 state, step_fn, epoch, best=best,
                 start_step=start_step if epoch == start_epoch else 0,
-                on_best=lambda s: self._save_params("params_best", s.params))
+                on_best=lambda s: self._save_params("params_best", s.params),
+                lr_step_base=epoch * self.pipe.steps_per_epoch())
             score = self.evaluate(state.params, epoch)
             if score > best:
                 best = score
@@ -443,7 +448,8 @@ class FinetuneRunner:
             state, best = self._train_epoch(
                 state, step_fn, epoch, best=best, grad_mask=mask_rt,
                 start_step=start_step if epoch == start_epoch else 0,
-                on_best=save_best)
+                on_best=save_best,
+                lr_step_base=epoch * self.pipe.steps_per_epoch())
             score = self.evaluate(state.params, epoch)
             if score > best:
                 best = score

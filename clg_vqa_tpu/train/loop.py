@@ -330,14 +330,16 @@ def _shard_opt_state_like(mesh, state: TrainState) -> TrainState:
     """Build the full TrainState sharding tree; AdamW mu/nu get the same
     layout as their params."""
     from ..parallel import mesh as pm
-    from .optim import AdamWState
+    from .optim import AdamWState, RAdamState
 
     p_sh = pm.param_shardings(mesh, state.params)
 
     def fix(os):
-        if isinstance(os, AdamWState):
-            return AdamWState(count=pm.replicated(mesh),
-                              mu=p_sh, nu=p_sh)
+        if isinstance(os, (AdamWState, RAdamState)):
+            # BOTH moment states mirror the param layout — a replicated
+            # fallback would hold 2x model size of fp32 moments per chip
+            # and reshard every step under mp
+            return type(os)(count=pm.replicated(mesh), mu=p_sh, nu=p_sh)
         if isinstance(os, tuple):
             fixed = [fix(x) for x in os]
             # preserve NamedTuple types (optax EmptyState etc.)

@@ -84,7 +84,9 @@ def imp_prune_step(params: Any, mask: Any, fraction: float = 0.1) -> Any:
         metas.append(pw)
     allw = np.concatenate(flat_w)
     allm = np.concatenate(flat_m)
-    surviving = int(allm.sum())
+    # exact INTEGER count (torch prune counts with numel): an f32 sum over
+    # ~86M mask elements can round by a few ulps, shifting k by a weight
+    surviving = int((allm > 0).sum())
     k = int(round(fraction * surviving))
     if k > 0:
         scores = np.where(allm > 0, allw, np.inf)
@@ -148,7 +150,17 @@ def save_mask(path: str, mask: Any) -> None:
 
 
 def load_mask(path: str, params: Any, model: str = "uc2") -> Any:
+    """Load a mask npz onto the params tree; every stored key must be a
+    prunable path of THIS model family (a mask saved for the wrong
+    family, or with stale keys, previously loaded silently wherever
+    names happened to match)."""
     data = np.load(path)
+    allowed = prunable_paths(params, model)
+    unknown = sorted(set(data.files) - allowed)
+    if unknown:
+        raise ValueError(
+            f"mask {path} contains {len(unknown)} key(s) that are not "
+            f"prunable paths of model {model!r}: {unknown[:5]}...")
 
     def walk(tree, path=()):
         if isinstance(tree, dict):

@@ -448,3 +448,27 @@ def test_make_mesh_rejects_non_tiling_shapes():
         pm.make_mesh(n_dp=2, n_mp=3)        # 6 != 8 devices
     with pytest.raises(ValueError, match="does not tile"):
         pm.make_mesh(n_mp=16)               # n_dp == 0
+
+
+def test_shard_opt_state_covers_radam():
+    """RAdam moments must mirror the param shardings like AdamW's — a
+    replicated fallback would hold full fp32 moments per chip under mp."""
+    from clg_vqa_tpu.parallel import mesh as pm
+    from clg_vqa_tpu.train import loop as tl
+    from clg_vqa_tpu.train.optim import make_optimizer, radam
+    import jax.numpy as jnp
+    mesh = pm.make_mesh(n_dp=4, n_mp=2)
+    params = {"encoder": {"attn": {"q": {"w": jnp.zeros((8, 8)),
+                                         "b": jnp.zeros((8,))}}}}
+    opt = radam(lambda s: 1e-4)
+    state = tl.TrainState(params, opt.init(params),
+                          jnp.zeros((), jnp.int32))
+    sh = tl._shard_opt_state_like(mesh, state)
+    p_sh = pm.param_shardings(mesh, params)
+
+    def leaves(t):
+        return jax.tree.leaves(t, is_leaf=lambda x: hasattr(x, "spec"))
+
+    q_w_param = p_sh["encoder"]["attn"]["q"]["w"]
+    q_w_mu = sh.opt_state.mu["encoder"]["attn"]["q"]["w"]
+    assert q_w_mu.spec == q_w_param.spec
