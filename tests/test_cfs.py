@@ -251,3 +251,32 @@ def test_all_features_reader_no_area_for_7loc(tmp_path):
     out = AllFeaturesReader(CfsReader(path), num_locs=7)["i"]
     loc = out[2]
     np.testing.assert_array_equal(loc[:, 4:], np.zeros((1, 3), np.float32))
+
+
+def test_native_gather_thread_safety(tmp_path):
+    """Concurrent gathers from prefetch-style threads must agree with the
+    serial result (shared mmap handle behind cfs_native._handle_for's
+    lock; the C++ kernel itself spawns worker threads per call)."""
+    import threading
+    path, recs = make_store(tmp_path, n_images=12)
+    rd = CfsReader(path)
+    idx = np.array([3, 0, 7, 1, 11, 5], np.int64)
+    want = rd.gather(idx, max_regions=6, num_locs=5)
+    outs = [None] * 8
+    errs = []
+
+    def work(t):
+        try:
+            outs[t] = rd.gather(idx, max_regions=6, num_locs=5)
+        except Exception as e:          # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    for got in outs:
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
