@@ -260,6 +260,13 @@ def make_eval_step(model_forward: Callable, cfg, *,
     loss = num_labels * CE, score = #correct (weights by mask for padded
     tail batches).
 
+    Accuracy denominator note: the reference divides by ALL samples
+    (out-of-vocab answers score 0 but count); we divide by LABELED
+    samples like eval/runner. Since the labeled count is a fixed property
+    of the split, epoch-over-epoch ranking (best-checkpoint selection)
+    is identical — only the printed scale differs when a split contains
+    out-of-vocab answers.
+
     fused_attn: Pallas attention for the validation forward — same
     trade-off as eval/runner.make_predict_step (wins at bs>=512 on TPU).
 
