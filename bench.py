@@ -13,23 +13,37 @@ a 15.7 TFLOP/s V100 => ~210 samples/s compute-bound, before its measured
 host-side bottleneck (per-batch O(bs x 1842) Python distance loop +
 tensorpack/ZMQ pipeline). We use 210 QA pairs/sec as the baseline constant.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Capture contract (CLAUDE.md): this script prints EXACTLY ONE JSON line on
+stdout, always — even when the TPU tunnel is down. The measurement runs in
+a child subprocess so a hung backend init (observed: ~20 min hang then
+UNAVAILABLE in round 3) can be killed and retried with backoff; after the
+final failed attempt we still emit one parseable record with value=null and
+the error tail. All diagnostics go to stderr.
 """
 import json
 import os
+import subprocess
+import sys
 import time
 
-# persistent compilation cache across runs/rounds
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-
-import numpy as np  # noqa: E402
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
-
 REF_V100_QA_PAIRS_PER_SEC = 210.0   # documented estimate, see module docstring
+METRIC = "UC2 GQA fine-tune throughput (bs256, semantic prior, AdamW)"
+
+# retry envelope: a down tunnel fails the cheap preflight fast (bounded at
+# PREFLIGHT_TIMEOUT) and we back off instead of burning a full measurement
+# timeout per hang. Worst case ~5*(6+2) min before the null record.
+ATTEMPTS = 5
+BACKOFF_S = 120
+PREFLIGHT_TIMEOUT = 360       # backend init alone; hangs observed here
+MEASURE_TIMEOUT = 2400        # init + compile (cold remote compile ~10-15 min)
 
 
-def main():
+def _measure():
+    """The actual benchmark. Runs in the child process ("--inner")."""
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     from clg_vqa_tpu.config import UC2Config
@@ -87,12 +101,79 @@ def main():
     qa_per_sec = acc * mbs / dt
 
     print(json.dumps({
-        "metric": "UC2 GQA fine-tune throughput (bs256, semantic prior, AdamW)",
+        "metric": METRIC,
         "value": round(qa_per_sec, 1),
         "unit": "QA pairs/sec/chip",
         "vs_baseline": round(qa_per_sec / REF_V100_QA_PAIRS_PER_SEC, 2),
     }))
 
 
+def _run_child(args, timeout):
+    """Run a child python, return (ok, stdout, err_tail)."""
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        p = subprocess.run([sys.executable] + args, capture_output=True,
+                           text=True, timeout=timeout, env=env,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return False, "", f"timeout after {timeout}s"
+    tail = (p.stderr or "")[-500:].replace("\n", " ").strip()
+    return p.returncode == 0, p.stdout or "", tail
+
+
+def _extract_record(stdout):
+    """Last stdout line that parses as our JSON record (tolerates stray
+    logging from plugins above the record line)."""
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(rec, dict) and rec.get("metric") == METRIC:
+            return rec
+    return None
+
+
+def main():
+    last_err = "no attempts ran"
+    for attempt in range(1, ATTEMPTS + 1):
+        print(f"[bench] attempt {attempt}/{ATTEMPTS}: preflight backend init",
+              file=sys.stderr, flush=True)
+        ok, _, err = _run_child(
+            ["-c", "import jax; d=jax.devices(); print(d[0].platform)"],
+            PREFLIGHT_TIMEOUT)
+        if not ok:
+            last_err = f"backend preflight: {err}"
+            print(f"[bench] preflight failed: {err}", file=sys.stderr,
+                  flush=True)
+        else:
+            print("[bench] preflight ok; measuring", file=sys.stderr,
+                  flush=True)
+            ok, out, err = _run_child([os.path.abspath(__file__), "--inner"],
+                                      MEASURE_TIMEOUT)
+            rec = _extract_record(out)
+            if ok and rec is not None:
+                print(json.dumps(rec))
+                return
+            last_err = f"measurement: {err or 'no JSON record in output'}"
+            print(f"[bench] measurement failed: {last_err}", file=sys.stderr,
+                  flush=True)
+        if attempt < ATTEMPTS:
+            print(f"[bench] backing off {BACKOFF_S}s", file=sys.stderr,
+                  flush=True)
+            time.sleep(BACKOFF_S)
+    print(json.dumps({
+        "metric": METRIC,
+        "value": None,
+        "unit": "QA pairs/sec/chip",
+        "vs_baseline": None,
+        "error": last_err[-300:],
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--inner":
+        _measure()
+    else:
+        main()
