@@ -11,6 +11,14 @@ import sys
 
 from . import common as C
 
+# Platform escape hatch for smoke runs / CI boxes without a reachable chip:
+# the axon TPU plugin overrides the JAX_PLATFORMS env var, so forcing a
+# backend must go through jax.config (tests/conftest.py does the same).
+_plat = os.environ.get("CLG_VQA_PLATFORM")
+if _plat:
+    import jax
+    jax.config.update("jax_platforms", _plat)
+
 
 def _train_like(args, mode: str):
     import jax.numpy as jnp
@@ -79,13 +87,15 @@ def _train_like(args, mode: str):
         optim_cfg=optim_cfg, output_dir=args.output_dir,
         model_name="m3p" if args.is_m3p else "uc2",
         compute_dtype=None if args.fp32 else jnp.bfloat16, seed=args.seed,
-        train_bank=train_bank, save_every=getattr(args, "save_every", 1))
+        train_bank=train_bank, save_every=getattr(args, "save_every", 1),
+        mid_save=getattr(args, "mid_save", "none"))
 
     if mode == "train":
         best = runner.finetune(resume=args.resume)
         print(f"Best validation score: {100*best:.3f}")
     elif mode == "prune":
-        res = runner.imp_prune(fraction=args.prune_fraction)
+        res = runner.imp_prune(fraction=args.prune_fraction,
+                               resume=args.resume)
         print(f"IMP best epoch {res['best_epoch']} "
               f"score {100*res['best_score']:.3f}; history: {res['history']}")
     elif mode == "sft":
@@ -175,18 +185,35 @@ def cmd_extract(args):
         from ..utils.convert_detector import maskrcnn_x101_to_pytree
         return maskrcnn_x101_to_pytree(sd)
 
+    def cfg_overrides(cfg_cls):
+        """Size/count overrides -> an ExtractorConfig/X101Config, or None
+        for the model defaults. Mirrors the reference's configurable
+        INPUT.MIN_SIZE_TEST / MAX_SIZE_TEST and NMS top-k knobs
+        (detectron_model.yaml; maskrcnn_benchmark/config/defaults.py)."""
+        kw = {}
+        for f in ("short", "max_size", "pad_h", "pad_w", "num_boxes",
+                  "pre_nms_topk", "post_nms_topk"):
+            v = getattr(args, f, 0)
+            if v:
+                kw[f] = v
+        return cfg_cls(**kw) if kw else None
+
     if args.detector == "c4":
         from ..models.detector.extractor import (Extractor36,
+                                                 ExtractorConfig,
                                                  init_extractor_params)
         params = (load_detector_weights(args.weights, "c4") if args.weights
                   else init_extractor_params(jax.random.key(0)))
-        ex = Extractor36(params)
+        ex = Extractor36(params, cfg_overrides(ExtractorConfig))
     else:
         from ..models.detector.extractor_x101 import (ExtractorX101,
+                                                      X101Config,
                                                       init_x101_params)
+        cfg = cfg_overrides(X101Config)
         params = (load_detector_weights(args.weights, "x101")
-                  if args.weights else init_x101_params(jax.random.key(0)))
-        ex = ExtractorX101(params)
+                  if args.weights
+                  else init_x101_params(jax.random.key(0), cfg))
+        ex = ExtractorX101(params, cfg)
 
     paths = sorted(_glob.glob(os.path.join(args.images, "*")))
 
@@ -304,6 +331,15 @@ def main(argv=None):
     sp.add_argument("--device_batch", type=int, default=1,
                     help="images per device program (vmapped pipeline, "
                          "better conv utilization; 2 is the sweet spot)")
+    for f, hint in (("short", "resize short side (MIN_SIZE_TEST)"),
+                    ("max_size", "long-side cap (MAX_SIZE_TEST)"),
+                    ("pad_h", "padded device height"),
+                    ("pad_w", "padded device width"),
+                    ("num_boxes", "regions per image"),
+                    ("pre_nms_topk", "RPN pre-NMS top-k"),
+                    ("post_nms_topk", "RPN post-NMS top-k")):
+        sp.add_argument(f"--{f}", type=int, default=0,
+                        help=f"{hint}; 0 = detector default")
     sp.set_defaults(fn=cmd_extract)
 
     sp = sub.add_parser("convert-store")

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import signal
+import sys
 from typing import Any, Callable
 
 import jax
@@ -38,7 +39,7 @@ class FinetuneRunner:
                  eval_batch_size: int | None = None,
                  eval_steps: int | None = None,
                  train_bank=None, async_ckpt: bool = True,
-                 save_every: int = 1):
+                 save_every: int = 1, mid_save: str = "none"):
         self.fwd = model_forward
         self.cfg = cfg
         self.params0 = params0
@@ -73,6 +74,17 @@ class FinetuneRunner:
         # the full-state fetch is expensive (tunneled single-chip dev envs).
         # best-params saves and preemption saves are unaffected.
         self.save_every = max(int(save_every), 1)
+        # cheap resume points for the epochs save_every skips: "params"
+        # writes params+step only (1/3 of the full-state device fetch — the
+        # documented 25-55% overlapped-save epoch tax); resuming from one
+        # reinitializes optimizer moments with the schedule clock fast-
+        # forwarded (checkpoints.resume_state). Mirrors the reference's
+        # cheap per-epoch weight files vs the full resume tar
+        # (train_utils.py:351-372). "none" = current behavior.
+        if mid_save not in ("none", "params"):
+            raise ValueError(f"mid_save must be 'none' or 'params', "
+                             f"got {mid_save!r}")
+        self.mid_save = mid_save
         os.makedirs(output_dir, exist_ok=True)
         self.logger = MetricsLogger(output_dir, task_cfg.name)
         self._val_bank = None
@@ -82,11 +94,21 @@ class FinetuneRunner:
             try:
                 from ..cli.common import maybe_device_bank
                 self._val_bank = maybe_device_bank(val_dataset, cfg, task_cfg)
-            except Exception:
+            except Exception as e:
+                # Loud fallback: a broken bank (OOM, malformed store) degrades
+                # every epoch's eval to the slow per-batch upload path — say so
+                # instead of silently eating the epoch-time regression.
                 self._val_bank = None
+                print(f"WARNING: val device bank unavailable "
+                      f"({type(e).__name__}: {e}); eval falls back to "
+                      f"per-batch host feature upload", file=sys.stderr)
         # preemption handling (absent in the reference, SURVEY.md §5): on
         # SIGTERM/SIGINT finish the current step, checkpoint, then exit
         self._preempted = False
+        # recipe-specific context merged into the mid-epoch preemption save
+        # (imp_prune stores its round/mask/history cursor here so a resumed
+        # prune re-enters the exact round and step)
+        self._preempt_extra: dict | None = None
         # test seam: called with the absolute step index after each dispatch
         self._step_callback = None
         for sig in (signal.SIGTERM, signal.SIGINT):
@@ -296,7 +318,8 @@ class FinetuneRunner:
                 ckpt.save_state(self.out, state, epoch=epoch,
                                 best_score=best,
                                 extra={"logger": self.logger.state_dict(),
-                                       "mid_epoch_step": i + 1})
+                                       "mid_epoch_step": i + 1,
+                                       **(self._preempt_extra or {})})
                 raise SystemExit(
                     f"preempted at epoch {epoch} step {i + 1}: "
                     f"state checkpointed to {self.out}")
@@ -328,6 +351,17 @@ class FinetuneRunner:
         else:
             ckpt.save_state(self.out, state, **kw)
 
+    def _save_epoch_state(self, state, epoch: int, best: float) -> None:
+        """End-of-epoch resume checkpoint: full state on the save_every
+        cadence and on the final epoch; a cheap params-only save for the
+        gap epochs when mid_save="params" (nothing otherwise)."""
+        full = ((epoch + 1) % self.save_every == 0
+                or epoch == self.task_cfg.num_epoch - 1)
+        if full or self.mid_save == "params":
+            self._save_state(state, epoch=epoch, best_score=best,
+                             extra={"logger": self.logger.state_dict()},
+                             params_only=not full)
+
     def _export_torch(self, name, params):
         path = os.path.join(self.out, name)
         if self._saver is not None:
@@ -351,6 +385,11 @@ class FinetuneRunner:
         A meta with 'mid_epoch_step' re-enters that epoch at the recorded
         step; an end-of-epoch meta starts the next epoch."""
         state, meta = ckpt.resume_state(self.out, state)
+        if meta.get("params_only"):
+            print("WARNING: resuming from a params-only (mid_save) "
+                  "checkpoint: optimizer moments restart at zero (schedule "
+                  "clock fast-forwarded); training is NOT bit-identical to "
+                  "an uninterrupted run", file=sys.stderr)
         self.logger.load_state_dict(meta.get("logger", {}))
         best = meta["best_score"]
         if meta.get("mid_epoch_step"):
@@ -381,17 +420,85 @@ class FinetuneRunner:
             if score > best:
                 best = score
                 self._save_params("params_best", state.params)
-            if ((epoch + 1) % self.save_every == 0
-                    or epoch == self.task_cfg.num_epoch - 1):
-                self._save_state(state, epoch=epoch, best_score=best,
-                                 extra={"logger": self.logger.state_dict()})
+            self._save_epoch_state(state, epoch, best)
         self._flush_saves()
         return best
 
-    def imp_prune(self, *, fraction: float = 0.1) -> dict:
+    # -- prune-resume plumbing ---------------------------------------------
+    # The reference's pruning entry carries the same --resume_file machinery
+    # as train (train_task_prunning.py:609-789 mirrors train_task.py:279-280;
+    # train_utils.py:488-510). Ours is two-level: a cheap prune_meta.json
+    # records every completed ROUND (no train state needed — the next round
+    # rewinds to theta_0 anyway, and the round's mask is already on disk as
+    # mask_lt{r}.npz), while a mid-round SIGTERM rides the standard
+    # step-granular state checkpoint with the prune cursor merged in
+    # (_preempt_extra), so resume is bit-exact (tests/test_prune_resume.py).
+
+    def _prune_meta_path(self) -> str:
+        return os.path.join(self.out, "prune_meta.json")
+
+    def _write_prune_meta(self, next_round: int, history: list,
+                          best: float, best_epoch: int) -> None:
+        import json
+        tmp = self._prune_meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"next_round": next_round, "history": history,
+                       "best_score": best, "best_epoch": best_epoch,
+                       "logger": self.logger.state_dict()}, f)
+        os.replace(tmp, self._prune_meta_path())
+
+    def _round_input_mask(self, rnd: int):
+        """Mask that prune round `rnd` trains under: the output of round
+        rnd-1 (mask_lt{rnd-1}.npz) — or the all-ones init for round 0."""
+        if rnd <= 0:
+            return pr.init_mask(self.params0, self.model_name)
+        return pr.load_mask(
+            os.path.join(self.out, f"mask_lt{rnd - 1}.npz"),
+            self.params0, self.model_name)
+
+    def _resume_prune(self, opt):
+        """(mask, start_round, start_step, mid_state, history, best,
+        best_epoch) from on-disk prune artifacts; defaults if none exist."""
+        import json
         mask = pr.init_mask(self.params0, self.model_name)
-        best, best_epoch = -1.0, -1
-        history = []
+        start_round, start_step, mid_state = 0, 0, None
+        history, best, best_epoch = [], -1.0, -1
+        pm_path = self._prune_meta_path()
+        if os.path.exists(pm_path):
+            with open(pm_path) as f:
+                pmeta = json.load(f)
+            start_round = pmeta["next_round"]
+            history = pmeta["history"]
+            best, best_epoch = pmeta["best_score"], pmeta["best_epoch"]
+            self.logger.load_state_dict(pmeta.get("logger", {}))
+            mask = self._round_input_mask(start_round)
+        # a mid-round preemption state supersedes the round record only if
+        # its round was not already completed (prune_meta is written AFTER
+        # each round, so a stale state checkpoint from an earlier round
+        # must be ignored)
+        meta_path = os.path.join(self.out, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                smeta = json.load(f)
+            pcur = smeta.get("prune")
+            if (pcur is not None and smeta.get("mid_epoch_step")
+                    and pcur["round"] >= start_round):
+                like_params = self._fresh_theta0()
+                like = TrainState(like_params, opt.init(like_params),
+                                  jnp.zeros((), jnp.int32))
+                state, smeta = ckpt.resume_state(self.out, like)
+                self.logger.load_state_dict(smeta.get("logger", {}))
+                start_round = pcur["round"]
+                start_step = smeta["mid_epoch_step"]
+                history = pcur["history"]
+                best, best_epoch = pcur["best_score"], pcur["best_epoch"]
+                mask = self._round_input_mask(start_round)
+                mid_state = self._perlayer(state)
+        return mask, start_round, start_step, mid_state, history, best, \
+            best_epoch
+
+    def imp_prune(self, *, fraction: float = 0.1,
+                  resume: bool = False) -> dict:
         # ONE optimizer/step program for every prune round: the reference
         # rebuilds optimizer+scheduler from scratch each round (791-866) —
         # opt.init() below resets count/moments, which is exactly that — and
@@ -399,11 +506,25 @@ class FinetuneRunner:
         # recompiles.
         opt = self._build_opt()
         step_fn = self._make_step(opt)
-        for epoch in range(self.task_cfg.num_epoch):
-            params = pr.apply_mask(self._fresh_theta0(), mask)
-            state = self._perlayer(TrainState(params, opt.init(params),
-                                              jnp.zeros((), jnp.int32)))
+        mask = pr.init_mask(self.params0, self.model_name)
+        start_round, start_step, mid_state = 0, 0, None
+        history, best, best_epoch = [], -1.0, -1
+        if resume:
+            (mask, start_round, start_step, mid_state, history, best,
+             best_epoch) = self._resume_prune(opt)
+        for epoch in range(start_round, self.task_cfg.num_epoch):
+            self._preempt_extra = {"prune": {
+                "round": epoch, "history": history,
+                "best_score": best, "best_epoch": best_epoch}}
+            if mid_state is not None and epoch == start_round:
+                state, s0 = mid_state, start_step
+            else:
+                params = pr.apply_mask(self._fresh_theta0(), mask)
+                state = self._perlayer(TrainState(params, opt.init(params),
+                                                  jnp.zeros((), jnp.int32)))
+                s0 = 0
             state, _ = self._train_epoch(state, step_fn, epoch,
+                                         start_step=s0,
                                          grad_mask=self._runtime_mask(mask))
             from ..models.layers import restack_layer_tree
             mask = pr.imp_prune_step(
@@ -421,7 +542,12 @@ class FinetuneRunner:
             if score > best:
                 best, best_epoch = score, epoch
                 pr.save_mask(os.path.join(self.out, "mask_best.npz"), mask)
+            # round complete: record the resume cursor (cheap json — masks
+            # and history only; the next round rewinds to theta_0 so no
+            # train state is needed at a round boundary)
+            self._write_prune_meta(epoch + 1, history, best, best_epoch)
             # rewind: next round restarts from theta_0 (mask persists)
+        self._preempt_extra = None
         return {"best_score": best, "best_epoch": best_epoch,
                 "history": history}
 
@@ -454,8 +580,9 @@ class FinetuneRunner:
             if score > best:
                 best = score
                 save_best(state)
-            if ((epoch + 1) % self.save_every == 0
-                    or epoch == self.task_cfg.num_epoch - 1):
-                self._save_state(state, epoch=epoch, best_score=best)
+            # logger state rides end-of-epoch saves exactly like finetune's
+            # (and like the mid-epoch preemption save): an sft resume must
+            # not silently reset metric history
+            self._save_epoch_state(state, epoch, best)
         self._flush_saves()
         return best

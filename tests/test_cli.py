@@ -128,6 +128,15 @@ def test_cli_prune_then_sft(cli_world, capsys):
     tmp = cli_world
     main(["prune", *_common(tmp, "imp"), "--grad_acc_steps", "2"])
     assert (tmp / "imp" / "mask_best.npz").exists()
+    first = capsys.readouterr().out
+    assert "IMP best epoch" in first
+    # prune --resume on the COMPLETED run: replays the recorded result from
+    # prune_meta.json without retraining (full kill/resume semantics in
+    # tests/test_prune_resume.py)
+    main(["prune", *_common(tmp, "imp"), "--grad_acc_steps", "2", "--resume"])
+    resumed = capsys.readouterr().out
+    line = [l for l in first.splitlines() if "IMP best epoch" in l][0]
+    assert line in resumed
     main(["sft", *_common(tmp, "sft"), "--grad_acc_steps", "2",
           "--mask_file", str(tmp / "imp" / "mask_best.npz")])
     out = capsys.readouterr().out
