@@ -63,6 +63,10 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--save_every", type=int, default=1,
                    help="state_latest checkpoint cadence in epochs (final "
                         "epoch always saved; 1 = reference parity)")
+    p.add_argument("--mid_save", choices=("none", "params"), default="none",
+                   help="cheap resume points for epochs --save_every skips: "
+                        "'params' saves params+step only (1/3 the device "
+                        "fetch; resume restarts optimizer moments)")
     p.add_argument("--no_train_bank", action="store_true",
                    help="stream features host->device per batch instead of "
                         "parking the train store in HBM")

@@ -69,18 +69,29 @@ def load_params(ckpt_dir: str, name: str, like: Any | None = None) -> Any:
 
 
 def save_state(ckpt_dir: str, state: TrainState, *, epoch: int,
-               best_score: float, extra: dict | None = None) -> None:
+               best_score: float, extra: dict | None = None,
+               params_only: bool = False) -> None:
     """Crash-safe resume checkpoint: the new state is written under a
     FRESH directory name, the meta.json pointer is swapped atomically
     (os.replace), and only then is the superseded state deleted — a hard
     kill at any point leaves either the old or the new (state, meta) pair
     intact. The previous in-place overwrite of state_latest destroyed the
-    only resume checkpoint if the process died mid-save."""
+    only resume checkpoint if the process died mid-save.
+
+    params_only=True writes a CHEAP resume point: params + step, no
+    optimizer moments — 1/3 of the full-state device fetch, which is the
+    documented 25-55% epoch tax of overlapped saves on a tunneled chip
+    (docs/PERFORMANCE.md). Resuming from it reinitializes moments (the
+    schedule/bias-correction clock is fast-forwarded, see resume_state);
+    this mirrors the reference's split of cheap per-epoch weight files
+    from the full resume tar (train_utils.py:351-372)."""
     import shutil
     os.makedirs(ckpt_dir, exist_ok=True)
     state = stacked_state(state)      # on-disk layout is always stacked
-    host = _fetch({"params": state.params, "opt_state": state.opt_state,
-                   "step": state.step})
+    tree = {"params": state.params, "step": state.step}
+    if not params_only:
+        tree["opt_state"] = state.opt_state
+    host = _fetch(tree)
     meta_path = os.path.join(ckpt_dir, "meta.json")
     prev = None
     if os.path.exists(meta_path):
@@ -98,7 +109,9 @@ def save_state(ckpt_dir: str, state: TrainState, *, epoch: int,
     with ocp.PyTreeCheckpointer() as c:
         c.save(target, host, force=True)
     meta = {"epoch": epoch, "best_score": best_score,
-            "step": int(state.step), "state_dir": name, **(extra or {})}
+            "step": int(state.step), "state_dir": name,
+            **({"params_only": True} if params_only else {}),
+            **(extra or {})}
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -108,20 +121,32 @@ def save_state(ckpt_dir: str, state: TrainState, *, epoch: int,
 
 
 def resume_state(ckpt_dir: str, like: TrainState) -> tuple[TrainState, dict]:
-    """Restore (state, meta). Raises FileNotFoundError if absent."""
+    """Restore (state, meta). Raises FileNotFoundError if absent.
+
+    A params-only checkpoint (save_state(params_only=True)) restores params
+    + step; the optimizer state is `like`'s (fresh moments) with the count
+    fast-forwarded to step, so the lr schedule and bias-correction clock
+    continue instead of rewinding into warmup. meta["params_only"] tells the
+    caller the resume is cheap-mode (not bit-exact vs uninterrupted)."""
     meta_path = os.path.join(ckpt_dir, "meta.json")
     if not os.path.exists(meta_path):
         raise FileNotFoundError(meta_path)
     with open(meta_path) as f:
         meta = json.load(f)
+    params_only = bool(meta.get("params_only"))
+    tmpl = {"params": like.params, "step": like.step}
+    if not params_only:
+        tmpl["opt_state"] = like.opt_state
     with ocp.PyTreeCheckpointer() as c:
         restored = c.restore(
             _path(ckpt_dir, meta.get("state_dir", "state_latest")),
-            args=ocp.args.PyTreeRestore(
-                {"params": like.params, "opt_state": like.opt_state,
-                 "step": like.step}))
-    state = TrainState(params=restored["params"],
-                       opt_state=restored["opt_state"],
+            args=ocp.args.PyTreeRestore(tmpl))
+    if params_only:
+        from .optim import fastforward_count
+        opt_state = fastforward_count(like.opt_state, restored["step"])
+    else:
+        opt_state = restored["opt_state"]
+    state = TrainState(params=restored["params"], opt_state=opt_state,
                        step=restored["step"])
     return state, meta
 
@@ -168,10 +193,13 @@ class AsyncSaver:
         self._thread = t
 
     def save_state(self, ckpt_dir: str, state: TrainState, *, epoch: int,
-                   best_score: float, extra: dict | None = None) -> None:
-        snap = self._snapshot(state)
+                   best_score: float, extra: dict | None = None,
+                   params_only: bool = False) -> None:
+        snap = self._snapshot(
+            state._replace(opt_state=None) if params_only else state)
         self._submit(lambda: save_state(ckpt_dir, snap, epoch=epoch,
-                                        best_score=best_score, extra=extra))
+                                        best_score=best_score, extra=extra,
+                                        params_only=params_only))
 
     def save_params(self, ckpt_dir: str, name: str, params: Any) -> None:
         snap = self._snapshot(params)

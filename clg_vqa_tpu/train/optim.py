@@ -146,6 +146,29 @@ def make_optimizer(params: Any, schedule: Callable, *, b1=0.9, b2=0.999,
     )
 
 
+def fastforward_count(opt_state: Any, step) -> Any:
+    """Set every optimizer sub-state's ``count`` to ``step`` (one optimizer
+    update per fused train step, so count == TrainState.step).
+
+    Used when resuming from a params-only checkpoint (checkpoints.py
+    mid_save="params"): moments restart at zero but the schedule position
+    and bias-correction clock must not rewind to warmup."""
+    step = jnp.asarray(step, jnp.int32)
+
+    def fwd(s):
+        # NamedTuple with a real `count` field (tuple.count is a METHOD on
+        # every tuple, so hasattr(s, "count") alone would match EmptyState)
+        if "count" in getattr(s, "_fields", ()):
+            return s._replace(count=step)
+        if isinstance(s, tuple):
+            fixed = [fwd(x) for x in s]
+            return (type(s)(*fixed) if hasattr(s, "_fields")
+                    else tuple(fixed))
+        return s
+
+    return fwd(opt_state)
+
+
 def freeze_mask(params: Any, fixed_layers: list[str]) -> Any:
     """train_utils.freeze_layers (train_utils.py:305-318) as a gradient mask:
     leaves whose "/"-joined path contains any of the ``fixed_layers``
