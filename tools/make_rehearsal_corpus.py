@@ -85,8 +85,11 @@ def main(argv=None):
                         "4e-5 for strict envelope parity.")
     p.add_argument("--ref_data", default=REF_DATA,
                    help="reference datasets dir (answer vocab + MUSE dicts)")
-    p.add_argument("--max_regions", type=int, default=36)
+    p.add_argument("--max_regions", type=int, default=36,
+                   help="36 = UC2/C4 recipe; 100 = M3P/X101 recipe")
     p.add_argument("--feat_dim", type=int, default=2048)
+    p.add_argument("--eval_batch_size", type=int, default=512,
+                   help="1024 for the M3P recipe (gqa_X101.yml)")
     args = p.parse_args(argv)
 
     from clg_vqa_tpu.data.cfs import CfsWriter
@@ -168,7 +171,7 @@ def main(argv=None):
   max_seq_length: 40
   max_region_num: {R}
   batch_size: 256
-  eval_batch_size: 512
+  eval_batch_size: {args.eval_batch_size}
   train_split: train
   val_split: val
   lr: {args.lr}
