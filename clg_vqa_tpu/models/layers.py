@@ -163,17 +163,26 @@ def multi_head_attention(
     Skv = x_kv.shape[1]
     hd = D // num_heads
 
-    # deterministic-only: the Pallas kernel is forward-only (no VJP), so a
-    # grad-traced call must take the XLA path even when dropout_rate == 0
-    if fused and deterministic:
-        from ..ops.attention import fused_attention
+    if fused:
         if Sq != Skv or x_q is not x_kv and x_q.shape != x_kv.shape:
             raise ValueError("fused attention requires self-attention")
         q = linear(x_q, p["q"], compute_dtype)
         k = linear(x_kv, p["k"], compute_dtype)
         v = linear(x_kv, p["v"], compute_dtype)
         bias4 = jnp.broadcast_to(attn_bias, (B, 1, 1, Skv))
-        ctx = fused_attention(q, k, v, bias4, num_heads)
+        if deterministic:
+            # forward-only eval kernel (no VJP)
+            from ..ops.attention import fused_attention
+            ctx = fused_attention(q, k, v, bias4, num_heads)
+        else:
+            # custom-VJP training kernel with in-kernel dropout: probs and
+            # mask are recomputed in VMEM on the backward, never stored.
+            # The dropout stream is the kernel PRNG's, not this rng's bits
+            # directly — statistically equivalent to the XLA path, not
+            # bit-equal (EXPERIMENTAL opt-in; see ops/attention.py).
+            from ..ops.attention import fused_attention_train
+            ctx = fused_attention_train(q, k, v, bias4, num_heads,
+                                        dropout_rate=dropout_rate, rng=rng)
         return linear(ctx, p["o"], compute_dtype)
 
     # NOTE: a fused [D, 3D] qkv projection was tried and measured slower on

@@ -1,22 +1,35 @@
-"""Fused joint-sequence attention (Pallas TPU kernel).
+"""Fused joint-sequence attention (Pallas TPU kernels).
 
 The CLG-VQA encoders attend over tiny joint sequences (UC2: 40+36=76 tokens,
 M3P: 100+40=140) — far below flash-attention territory, but the XLA path
-still materializes [B, H, S, S] score/prob tensors in HBM between ops. This
-kernel fuses QK^T -> +bias -> softmax -> PV entirely in VMEM per (batch,
-head) tile, so scores never touch HBM.
+still materializes [B, H, S, S] score/prob tensors in HBM between ops. These
+kernels fuse QK^T -> +bias -> softmax -> (dropout) -> PV entirely in VMEM
+per (batch, head) tile, so scores never touch HBM.
 
-Forward-only (serving/eval path; training uses the XLA formulation whose
-backward XLA already fuses well). Numerics match layers.multi_head_attention
-with scale applied post-QK^T and fp32 softmax.
+Two entry points:
 
+``fused_attention`` — forward-only (serving/eval path). Numerics match
+layers.multi_head_attention with scale applied post-QK^T and fp32 softmax.
 Measured on v5e: at bs 256 / S=76 the kernel loses (4.2 vs 1.5 ms — XLA's
 batched-matmul fusion wins when the score tensor is small), but at eval
 scale (bs 1024 / S=140, where the fp32 probs are 963 MB/block) it WINS
 15 vs 25 ms/call — M3P full-scale eval 2028 -> 2707 QA/s. It is the
 default for bf16 eval at bs>=512 on TPU (eval/runner.run_eval auto mode,
 threaded via forward(fused_attn=True)); the XLA path remains default for
-training, fp32 parity mode, and serving-size batches.
+fp32 parity mode and serving-size batches.
+
+``fused_attention_train`` — custom-VJP training variant with IN-KERNEL
+dropout (pltpu.prng bits, the same u8-threshold semantics as
+layers.dropout): the backward re-seeds the identical PRNG stream and
+recomputes probs + mask in VMEM, so neither the [B,H,S,S] probs nor the
+dropout mask ever touch HBM, and the {2,0,1}<->{1,2,0} activation relayout
+copies XLA inserts around the head reshapes (~27 ms/step at M3P bs128
+S=140, XProf in docs/PERFORMANCE.md round 3) disappear with them. This is
+an EXPERIMENTAL opt-in (make_train_step(fused_attn=True)); the XLA path
+stays the training default until a same-day on-chip measurement wins.
+NOTE the attention-core REMAT experiment at UC2 S=76 lost (1782 vs 1958
+QA/s, perf ledger) — this kernel targets the M3P S=140 regime where the
+prob/relayout traffic is 3.4x larger per sample.
 """
 from __future__ import annotations
 
@@ -88,3 +101,191 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(qh, kh, vh, b2)
     out = out[:, :, :S, :].transpose(0, 2, 1, 3).reshape(B, S, HD)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Training kernel: custom VJP + in-kernel dropout
+# ---------------------------------------------------------------------------
+
+def _cell_seed(seed_ref):
+    # distinct PRNG stream per (batch-tile, head) grid cell; both kernels
+    # derive the SAME seed so the backward replays the forward's exact
+    # dropout mask without ever materializing it
+    pltpu.prng_seed(seed_ref[0, 0]
+                    + pl.program_id(0) * 16384 + pl.program_id(1))
+
+
+def _keep_mask(shape, keep_t: int):
+    """u8-threshold keep mask (same semantics as layers.dropout: keep where
+    (bits & 255) < keep_t, rescale by 256/keep_t)."""
+    bits = pltpu.prng_random_bits(shape)           # uint32
+    return (bits & jnp.uint32(255)) < jnp.uint32(keep_t)
+
+
+def _probs(q_ref, k_ref, bias_ref, scale):
+    q = q_ref[:, 0].astype(jnp.float32)            # [BT, S, D]
+    k = k_ref[:, 0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    scores = scores + bias_ref[:]                  # [BT, 1, S] broadcast
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True), q, k
+
+
+def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                      *, scale: float, keep_t: int):
+    if keep_t < 256:
+        _cell_seed(seed_ref)
+    p, _, _ = _probs(q_ref, k_ref, bias_ref, scale)
+    if keep_t < 256:
+        p = jnp.where(_keep_mask(p.shape, keep_t), p * (256.0 / keep_t), 0.0)
+    v = v_ref[:, 0].astype(jnp.float32)
+    out = jax.lax.dot_general(
+        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[:, 0] = out.astype(o_ref.dtype)
+
+
+def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, db_ref,
+                      *, scale: float, keep_t: int):
+    if keep_t < 256:
+        _cell_seed(seed_ref)
+    p, q, k = _probs(q_ref, k_ref, bias_ref, scale)   # pre-dropout probs
+    if keep_t < 256:
+        # identical PRNG call sequence as the forward -> identical mask
+        keep = _keep_mask(p.shape, keep_t)
+        r = 256.0 / keep_t
+        pd = jnp.where(keep, p * r, 0.0)              # dropped+rescaled
+    else:
+        pd = p
+    v = v_ref[:, 0].astype(jnp.float32)
+    do = do_ref[:, 0].astype(jnp.float32)
+    # out = pd @ v
+    dv = jax.lax.dot_general(                         # pd^T do -> [BT,Sk,D]
+        pd, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dpd = jax.lax.dot_general(                        # do v^T -> [BT,Sq,Sk]
+        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dp = jnp.where(keep, dpd * r, 0.0) if keep_t < 256 else dpd
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(                         # ds k -> [BT,Sq,D]
+        ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(                         # ds^T q -> [BT,Sk,D]
+        ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    dq_ref[:, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[:, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[:, 0] = dv.astype(dv_ref.dtype)
+    # bias grad: accumulate sum over queries ACROSS the head grid dim (the
+    # db block has the same index for every h, so it stays resident and the
+    # h-loop accumulates into it; h is the minor/fastest grid dim)
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    db_ref[:, 0] += jnp.sum(ds, axis=1).astype(db_ref.dtype)
+
+
+def _bt(B: int) -> int:
+    bt = max(1, min(8, B))
+    while B % bt:
+        bt -= 1
+    return bt
+
+
+def _specs(B, H, S_pad, D, bt):
+    qkv = pl.BlockSpec((bt, 1, S_pad, D), lambda b, h: (b, h, 0, 0),
+                       memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((bt, 1, S_pad), lambda b, h: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1), lambda b, h: (0, 0),
+                        memory_space=pltpu.SMEM)
+    return qkv, bias, seed
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _attn_train_core(qh, kh, vh, b2, seed, keep_t):
+    out, _ = _attn_train_fwd(qh, kh, vh, b2, seed, keep_t)
+    return out
+
+
+def _attn_train_fwd(qh, kh, vh, b2, seed, keep_t):
+    B, H, S_pad, D = qh.shape
+    bt = _bt(B)
+    qkv, bias, seedspec = _specs(B, H, S_pad, D, bt)
+    out = pl.pallas_call(
+        functools.partial(_train_fwd_kernel, scale=1.0 / math.sqrt(D),
+                          keep_t=keep_t),
+        out_shape=jax.ShapeDtypeStruct((B, H, S_pad, D), qh.dtype),
+        grid=(B // bt, H),
+        in_specs=[seedspec, qkv, qkv, qkv, bias],
+        out_specs=qkv,
+    )(seed, qh, kh, vh, b2)
+    return out, (qh, kh, vh, b2, seed)
+
+
+def _attn_train_bwd(keep_t, res, g):
+    qh, kh, vh, b2, seed = res
+    B, H, S_pad, D = qh.shape
+    bt = _bt(B)
+    qkv, bias, seedspec = _specs(B, H, S_pad, D, bt)
+    dq, dk, dv, db = pl.pallas_call(
+        functools.partial(_train_bwd_kernel, scale=1.0 / math.sqrt(D),
+                          keep_t=keep_t),
+        out_shape=[jax.ShapeDtypeStruct((B, H, S_pad, D), qh.dtype),
+                   jax.ShapeDtypeStruct((B, H, S_pad, D), kh.dtype),
+                   jax.ShapeDtypeStruct((B, H, S_pad, D), vh.dtype),
+                   jax.ShapeDtypeStruct((B, 1, S_pad), jnp.float32)],
+        grid=(B // bt, H),
+        in_specs=[seedspec, qkv, qkv, qkv, bias, qkv],
+        out_specs=[qkv, qkv, qkv, bias],
+    )(seed, qh, kh, vh, b2, g)
+    import numpy as np
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)   # int primal -> float0
+    return dq, dk, dv, db, dseed
+
+
+_attn_train_core.defvjp(lambda qh, kh, vh, b2, seed, keep_t:
+                        _attn_train_fwd(qh, kh, vh, b2, seed, keep_t),
+                        _attn_train_bwd)
+
+
+def fused_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          bias: jnp.ndarray, num_heads: int, *,
+                          dropout_rate: float = 0.0,
+                          rng=None) -> jnp.ndarray:
+    """Training counterpart of fused_attention: differentiable (custom VJP,
+    probs recomputed in VMEM) with in-kernel dropout.
+
+    q/k/v: [B, S, H*D] pre-projected; bias: [B, 1, 1, S] additive
+    (key-side). Returns [B, S, H*D]. Dropout uses the same u8-threshold
+    semantics as layers.dropout; the PRNG stream is the kernel's own
+    (seeded from ``rng``), so the realized mask differs from the XLA
+    path's — statistically equivalent, not bit-equal.
+    """
+    B, S, HD = q.shape
+    D = HD // num_heads
+    S_pad = -(-S // 8) * 8
+
+    def split(x):
+        x = x.reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, S_pad - S), (0, 0)))
+
+    qh, kh, vh = split(q), split(k), split(v)
+    b2 = jnp.pad(bias[:, 0, 0, :], ((0, 0), (0, S_pad - S)),
+                 constant_values=-1e9)[:, None, :]          # [B, 1, S_pad]
+    t = 256
+    if dropout_rate > 0.0:
+        t = int(round((1.0 - dropout_rate) * 256.0))        # layers.dropout
+        t = max(t, 1)
+    if t < 256 and rng is None:
+        raise ValueError("dropout_rate > 0 requires an rng key")
+    seed = (jax.random.bits(rng, (1, 1), jnp.uint32).astype(jnp.int32)
+            if t < 256 else jnp.zeros((1, 1), jnp.int32))
+    out = _attn_train_core(qh, kh, vh, b2, seed, t)
+    return out[:, :, :S, :].transpose(0, 2, 1, 3).reshape(B, S, HD)

@@ -109,7 +109,7 @@ def stacked_state(state: TrainState) -> TrainState:
 def make_loss_fn(model_forward: Callable, cfg, distance_matrix, *,
                  semantic_lambda: float, top_k: int = 10,
                  compute_dtype=jnp.bfloat16, remat: bool = False,
-                 unroll: bool = True,
+                 unroll: bool = True, fused_attn: bool = False,
                  criterion: str = "CrossEntropyLoss") -> Callable:
     def loss_fn(params, mb, rng, bank=None):
         # Device-resident feature bank: batches carry int32 'store_idx' and
@@ -126,7 +126,8 @@ def make_loss_fn(model_forward: Callable, cfg, distance_matrix, *,
         # scan's residual-stacking dynamic-update-slices; see uc2.encode)
         logits = model_forward(params, cfg, mb, deterministic=rng is None,
                                rng=rng, compute_dtype=compute_dtype,
-                               remat=remat, unroll=unroll)
+                               remat=remat, unroll=unroll,
+                               **({"fused_attn": True} if fused_attn else {}))
         loss = gqa_train_loss(
             logits, mb["labels"], distance_matrix,
             semantic_lambda=semantic_lambda, top_k=top_k,
@@ -146,6 +147,7 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
                     remat: bool = False,
                     unroll: bool = True,
                     unroll_accum: bool = False,
+                    fused_attn: bool = False,
                     criterion: str = "CrossEntropyLoss") -> Callable:
     """Returns train_step(state, batch, rng, bank=None, grad_mask_rt=None)
     -> (state, metrics).
@@ -175,7 +177,8 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
     loss_fn = make_loss_fn(model_forward, cfg, distance_matrix,
                            semantic_lambda=semantic_lambda, top_k=top_k,
                            compute_dtype=compute_dtype, remat=remat,
-                           unroll=unroll, criterion=criterion)
+                           unroll=unroll, fused_attn=fused_attn,
+                           criterion=criterion)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(state: TrainState, batch, rng, bank=None,

@@ -76,3 +76,186 @@ def test_forward_fused_attn_matches(model):
                                       deterministic=True, fused_attn=True))
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(ours.argmax(-1), ref.argmax(-1))
+
+
+# ---------------------------------------------------------------------------
+# Training kernel (custom VJP + in-kernel dropout)
+# ---------------------------------------------------------------------------
+
+def _mk_inputs(S, B=3, H=4, D=32, seed=0):
+    r = np.random.RandomState(seed)
+    q = jnp.asarray(r.randn(B, S, H * D), jnp.float32)
+    k = jnp.asarray(r.randn(B, S, H * D), jnp.float32)
+    v = jnp.asarray(r.randn(B, S, H * D), jnp.float32)
+    mask = np.ones((B, S), np.float32)
+    mask[1, -9:] = 0
+    bias = jnp.asarray(((1 - mask) * -10000.0)[:, None, None, :])
+    w = jnp.asarray(r.randn(B, S, H * D), jnp.float32)   # cotangent seed
+    return q, k, v, bias, w, H
+
+
+@pytest.mark.parametrize("S", [76, 140, 64])
+def test_fused_train_matches_xla_values_and_grads(S):
+    """rate=0: value AND (dq, dk, dv, dbias) must match the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.ops.attention import fused_attention_train
+    q, k, v, bias, w, H = _mk_inputs(S)
+
+    def ref_loss(q, k, v, bias):
+        return jnp.sum(xla_attention_b(q, k, v, bias, H) * w)
+
+    def ker_loss(q, k, v, bias):
+        return jnp.sum(fused_attention_train(q, k, v, bias, H) * w)
+
+    ref_val, ref_grads = jax.value_and_grad(ref_loss, (0, 1, 2, 3))(
+        q, k, v, bias)
+    with pltpu.force_tpu_interpret_mode():
+        val, grads = jax.value_and_grad(ker_loss, (0, 1, 2, 3))(q, k, v, bias)
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=2e-5)
+    for g, rg, name in zip(grads, ref_grads, "qkvb"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(rg),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def xla_attention_b(q, k, v, bias, num_heads):
+    """xla_attention with a differentiable bias argument."""
+    B, S, HD = q.shape
+    D = HD // num_heads
+    qh = q.reshape(B, S, num_heads, D)
+    kh = k.reshape(B, S, num_heads, D)
+    vh = v.reshape(B, S, num_heads, D)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(D)
+    probs = jax.nn.softmax(scores + bias, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(B, S, HD)
+
+
+def test_fused_train_dropout_deterministic_and_unbiased():
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.ops.attention import fused_attention_train
+    q, k, v, bias, _, H = _mk_inputs(48)
+    rng = jax.random.key(7)
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(fused_attention_train(q, k, v, bias, H,
+                                             dropout_rate=0.5, rng=rng))
+        b = np.asarray(fused_attention_train(q, k, v, bias, H,
+                                             dropout_rate=0.5, rng=rng))
+        c = np.asarray(fused_attention_train(q, k, v, bias, H,
+                                             dropout_rate=0.5,
+                                             rng=jax.random.key(8)))
+        base = np.asarray(fused_attention_train(q, k, v, bias, H))
+    np.testing.assert_array_equal(a, b)          # same rng -> same mask
+    if jax.default_backend() == "tpu":
+        # interpret mode's prng_seed ignores the seed VALUE (fixed stream,
+        # verified empirically) — seed sensitivity is TPU-only testable
+        assert np.abs(a - c).max() > 1e-6        # different rng -> differs
+    assert np.abs(a - base).max() > 1e-6         # dropout actually applied
+
+
+def test_fused_train_dropout_realized_mask_semantics():
+    """Extract the realized dropped-prob matrix via linearity in v (H=1,
+    v=I -> out[b,s,:S] == Pd[b,s,:]) and check layers.dropout semantics:
+    every entry is either exactly 0 or P * 256/keep_t, and the realized
+    drop fraction is near the requested rate."""
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.ops.attention import fused_attention_train
+    r = np.random.RandomState(5)
+    B, S, H = 4, 16, 1          # D = 16 so v can carry the identity
+    rate = 0.3
+    t = int(round((1.0 - rate) * 256.0))
+    q = jnp.asarray(r.randn(B, S, S), jnp.float32)
+    k = jnp.asarray(r.randn(B, S, S), jnp.float32)
+    v = jnp.broadcast_to(jnp.eye(S, dtype=jnp.float32), (B, S, S))
+    bias = jnp.zeros((B, 1, 1, S), jnp.float32)
+    probs = np.asarray(jax.nn.softmax(
+        (q @ jnp.swapaxes(k, 1, 2)) / np.sqrt(S), axis=-1))
+    with pltpu.force_tpu_interpret_mode():
+        pd = np.asarray(fused_attention_train(
+            q, k, v, bias, H, dropout_rate=rate, rng=jax.random.key(3)))
+    kept = pd != 0.0
+    # kept entries = probs * 256/t exactly (up to f32 rounding)
+    np.testing.assert_allclose(pd[kept], (probs * (256.0 / t))[kept],
+                               rtol=1e-5, atol=1e-7)
+    frac = 1.0 - kept.mean()
+    if jax.default_backend() == "tpu":
+        # realized drop fraction near the (u8-quantized) rate: 1 - t/256
+        want = 1.0 - t / 256.0
+        assert abs(frac - want) < 0.08, (frac, want)
+    else:
+        # interpret mode's prng_random_bits returns ALL ZEROS (verified
+        # empirically): every element passes the keep threshold, so the
+        # kernel degenerates to keep-all + rescale here. The kept-value
+        # identity above and the VJP/gradcheck tests stay fully valid;
+        # the drop-fraction statistic is TPU-only testable.
+        assert frac == 0.0
+
+
+def test_fused_train_dropout_gradcheck_finite_difference():
+    """With a FIXED rng the dropout mask is input-independent, so the
+    custom VJP must match finite differences (and in particular the
+    backward must replay the forward's exact mask)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.ops.attention import fused_attention_train
+    r = np.random.RandomState(3)
+    B, S, H, D = 2, 16, 2, 8
+    q = jnp.asarray(r.randn(B, S, H * D), jnp.float32)
+    k = jnp.asarray(r.randn(B, S, H * D), jnp.float32)
+    v = jnp.asarray(r.randn(B, S, H * D), jnp.float32)
+    bias = jnp.zeros((B, 1, 1, S), jnp.float32)
+    w = jnp.asarray(r.randn(B, S, H * D), jnp.float32)
+    rng = jax.random.key(11)
+
+    def loss(q):
+        return jnp.sum(fused_attention_train(
+            q, k, v, bias, H, dropout_rate=0.3, rng=rng) * w)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = np.asarray(jax.grad(loss)(q))
+        # FD on a handful of coordinates
+        eps = 3e-3
+        rr = np.random.RandomState(0)
+        for _ in range(8):
+            i, j, l = rr.randint(B), rr.randint(S), rr.randint(H * D)
+            dq = np.zeros(q.shape, np.float32)
+            dq[i, j, l] = eps
+            f1 = float(loss(q + dq))
+            f2 = float(loss(q - dq))
+            fd = (f1 - f2) / (2 * eps)
+            assert abs(fd - g[i, j, l]) < 5e-2 * max(1.0, abs(fd)), \
+                (fd, g[i, j, l])
+
+
+def test_train_step_fused_attn_integration():
+    """make_train_step(fused_attn=True) end-to-end on a tiny UC2: the
+    custom-VJP kernel runs inside the fused train step (grad path,
+    accumulation scan, optimizer) and produces finite, updating state."""
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.config import UC2Config
+    from clg_vqa_tpu.models import uc2
+    from clg_vqa_tpu.train import loop as tl
+    from clg_vqa_tpu.train.optim import make_optimizer
+    r = np.random.RandomState(0)
+    cfg = UC2Config(vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+                    intermediate_size=64, v_feature_size=16, num_locs=7,
+                    pooler_size=32, clf_hidden_size=32, num_labels=6)
+    params = uc2.init_params(jax.random.key(0), cfg)
+    D = jnp.asarray(r.rand(6, 6), jnp.float32)
+    opt = make_optimizer(params, 1e-3)
+    step = tl.make_train_step(uc2.forward, cfg, opt, D, semantic_lambda=1.0,
+                              compute_dtype=None, fused_attn=True)
+    acc, mbs, T, R = 2, 4, 8, 5
+    batch = {
+        "input_ids": jnp.asarray(r.randint(3, 64, (acc, mbs, T)), jnp.int32),
+        "input_mask": jnp.ones((acc, mbs, T), jnp.int32),
+        "features": jnp.asarray(r.randn(acc, mbs, R, 16), jnp.float32),
+        "locs": jnp.asarray(r.rand(acc, mbs, R, 7), jnp.float32),
+        "image_mask": jnp.ones((acc, mbs, R), jnp.int32),
+        "labels": jnp.asarray(r.randint(0, 6, (acc, mbs)), jnp.int32),
+    }
+    state = tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    with pltpu.force_tpu_interpret_mode():
+        state2, m = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    moved = any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+                for a, b in zip(jax.tree.leaves(state.params),
+                                jax.tree.leaves(state2.params)))
+    assert moved and int(state2.step) == 1

@@ -62,6 +62,10 @@ def main():
                     default=None,
                     help="tri-state: default None = model default "
                          "(UC2 True / M3P False); --no-unroll-accum to A/B")
+    ap.add_argument("--fused-attn", action="store_true",
+                    help="A/B the Pallas custom-VJP train attention "
+                         "(ops/attention.fused_attention_train): probs + "
+                         "dropout mask recomputed in VMEM, never in HBM")
     args = ap.parse_args()
 
     import jax
@@ -98,7 +102,8 @@ def main():
         cfg.num_layers)
     step = jax.jit(tl.make_train_step(
         mod.forward, cfg, opt, D, semantic_lambda=10.0, top_k=10,
-        compute_dtype=jnp.bfloat16, unroll_accum=unroll_accum),
+        compute_dtype=jnp.bfloat16, unroll_accum=unroll_accum,
+        fused_attn=args.fused_attn),
         donate_argnums=(0,))
 
     acc, mbs = args.acc, args.mbs
