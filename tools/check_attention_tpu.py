@@ -10,9 +10,11 @@ properties interpret mode cannot:
   2. dropout determinism: same rng -> bit-equal output (fwd AND bwd replay)
   3. seed sensitivity: different rng -> different realized mask
   4. realized drop fraction ~= the u8-quantized rate (1 - t/256)
-  5. kept-entry identity: every nonzero prob == p * 256/t exactly
-     (extracted via linearity in v with H=1, v=I)
-  6. dropout-path VJP vs finite differences (mask replay on hardware)
+  5. kept-entry identity: every nonzero prob == p * 256/t (exact where
+     256/t is a power of two; extracted via linearity in v with H=1, v=I)
+  6. dropout-path VJP: (a) the v-linearity identity <dv, v> == loss
+     (fwd/bwd mask agreement), (b) dq/dk/dv/dbias vs a float64 host
+     reference built from the extracted realized mask
 
 Exits nonzero on any failure; prints one PASS line per property.
 """
@@ -94,46 +96,104 @@ def main():
     np.testing.assert_array_equal(g1, g2)
     print("PASS backward replays a deterministic mask")
 
-    # 4-5. realized mask semantics via linearity in v (H=1, v=I)
+    # 4-5. realized mask semantics via linearity in v (H=1, v=I).
+    #
+    # Reference probs = the KERNEL's own rate=0 run (same v=I extraction):
+    # an XLA-side softmax rounds differently because the q@k^T scores ride
+    # the MXU at default precision (measured ~4e-3 rel; XLA-parity of the
+    # probs themselves is property 1's job). Even kernel-vs-kernel, the
+    # p@v matmul's bf16 operand pass rounds the DROPPED program's
+    # bf16(p*r) differently from the rate-0 program's bf16(p)*r — UNLESS
+    # r = 256/t is a power of two, where bf16 rounding commutes with the
+    # rescale (pure exponent shift). So: exact identity at rate=0.5
+    # (t=128, r=2.0), quantized-rescale semantics at rate=0.3 within two
+    # bf16 roundings.
     r2 = np.random.RandomState(5)
     Bs, Ss = 8, 128               # HD == Ss so v can carry the identity
-    rate = 0.3
-    t = int(round((1.0 - rate) * 256.0))
     q1 = jnp.asarray(r2.randn(Bs, Ss, Ss), jnp.float32)
     k1 = jnp.asarray(r2.randn(Bs, Ss, Ss), jnp.float32)
     v1 = jnp.broadcast_to(jnp.eye(Ss, dtype=jnp.float32), (Bs, Ss, Ss))
     b1 = jnp.zeros((Bs, 1, 1, Ss), jnp.float32)
-    probs = np.asarray(jax.nn.softmax(
-        (q1 @ jnp.swapaxes(k1, 1, 2)) / np.sqrt(Ss), axis=-1))
-    pd = np.asarray(fused_attention_train(
-        q1, k1, v1, b1, 1, dropout_rate=rate, rng=jax.random.key(3)))
-    kept = pd != 0.0
-    np.testing.assert_allclose(pd[kept], (probs * (256.0 / t))[kept],
-                               rtol=1e-5, atol=1e-7)
-    frac = 1.0 - kept.mean()
-    want = 1.0 - t / 256.0
-    assert abs(frac - want) < 0.02, (frac, want)
-    print(f"PASS realized drop fraction {frac:.4f} ~= {want:.4f}; "
-          f"kept entries == p*256/t exactly")
+    probs = np.asarray(fused_attention_train(q1, k1, v1, b1, 1))
+    for rate, rtol, what in ((0.5, 0.0, "exactly (r=2 commutes with bf16)"),
+                             (0.3, 2.0 ** -7,   # 2 half-ulp bf16 roundings
+                              "within two bf16 roundings")):
+        t = int(round((1.0 - rate) * 256.0))
+        pd = np.asarray(fused_attention_train(
+            q1, k1, v1, b1, 1, dropout_rate=rate, rng=jax.random.key(3)))
+        kept = pd != 0.0
+        np.testing.assert_allclose(pd[kept], (probs * (256.0 / t))[kept],
+                                   rtol=rtol, atol=0)
+        frac = 1.0 - kept.mean()
+        want = 1.0 - t / 256.0
+        assert abs(frac - want) < 0.02, (frac, want)
+        print(f"PASS rate={rate}: realized drop fraction {frac:.4f} ~= "
+              f"{want:.4f}; kept entries == p*256/t {what}")
 
-    # 6. dropout-path VJP vs finite differences on a few coordinates
-    rr = np.random.RandomState(0)
-    rngfd = jax.random.key(11)
+    # 6. dropout-path VJP on hardware. Finite differences are unusable
+    # here: any useful eps is below one bf16 ulp of the O(1) inputs, and
+    # the MXU's bf16 operand pass quantizes the perturbation (measured: fd
+    # returns mask-jump noise, not the derivative). Two sharper checks:
+    #
+    # 6a. v-linearity identity: out is LINEAR in v under a fixed realized
+    #     mask, so loss(v) == <dloss/dv, v> exactly (up to rounding). The
+    #     forward computes the left side with the FWD kernel's mask, the
+    #     VJP computes dv with the BWD kernel's replayed mask — a fwd/bwd
+    #     mask divergence breaks the identity by O(sqrt(rate)), not eps.
+    rngl = jax.random.key(11)
 
-    def loss_fd(qq):
+    def loss_v(vv):
         return jnp.sum(fused_attention_train(
-            qq, k, v, bias, H, dropout_rate=0.3, rng=rngfd) * w)
+            q, k, vv, bias, H, dropout_rate=0.3, rng=rngl) * w)
 
-    g = np.asarray(jax.grad(loss_fd)(q))
-    eps = 3e-3
-    for _ in range(6):
-        i, j, l = rr.randint(B), rr.randint(S), rr.randint(H * D)
-        dq = np.zeros(q.shape, np.float32)
-        dq[i, j, l] = eps
-        fd = (float(loss_fd(q + dq)) - float(loss_fd(q - dq))) / (2 * eps)
-        assert abs(fd - g[i, j, l]) < 5e-2 * max(1.0, abs(fd)), \
-            (i, j, l, fd, g[i, j, l])
-    print("PASS dropout-path VJP matches finite differences on-chip")
+    lv, dv = jax.value_and_grad(loss_v)(v)
+    inner = float(jnp.vdot(dv, v))
+    np.testing.assert_allclose(inner, float(lv), rtol=5e-3)
+    print(f"PASS v-linearity: <dv, v> = {inner:.2f} == loss = "
+          f"{float(lv):.2f} (fwd and bwd realize the same mask)")
+
+    # 6b. full dropout-path VJP vs a float64 HOST reference built from the
+    #     extracted realized mask (H=1 config of property 5; the mask is a
+    #     function of (seed, grid cell) only, so a different v reuses it).
+    rate6, key6 = 0.3, jax.random.key(3)
+    t6 = int(round((1.0 - rate6) * 256.0))
+    r6 = 256.0 / t6
+    M = np.asarray(fused_attention_train(
+        q1, k1, v1, b1, 1, dropout_rate=rate6, rng=key6)) != 0.0
+    r3 = np.random.RandomState(9)
+    v2 = jnp.asarray(r3.randn(Bs, Ss, Ss), jnp.float32)
+    w2 = jnp.asarray(r3.randn(Bs, Ss, Ss), jnp.float32)
+
+    def loss6(qq, kk, vv, bb):
+        return jnp.sum(fused_attention_train(
+            qq, kk, vv, bb, 1, dropout_rate=rate6, rng=key6) * w2)
+
+    kg = jax.grad(loss6, (0, 1, 2, 3))(q1, k1, v2, b1)
+    # host reference, float64 end to end
+    qd, kd, vd, wd = (np.asarray(x, np.float64) for x in (q1, k1, v2, w2))
+    s = qd @ kd.transpose(0, 2, 1) / np.sqrt(Ss)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    dpd_ = wd @ vd.transpose(0, 2, 1)
+    dp = np.where(M, dpd_ * r6, 0.0)
+    ds = p * (dp - (dp * p).sum(-1, keepdims=True))
+    ref = (ds @ kd / np.sqrt(Ss),                       # dq
+           ds.transpose(0, 2, 1) @ qd / np.sqrt(Ss),    # dk
+           np.where(M, p * r6, 0.0).transpose(0, 2, 1) @ wd,   # dv
+           ds.sum(1)[:, None, None, :])                 # dbias
+    # 5e-2/5e-3: the kernel's fp32 ride through the MXU's bf16 operand
+    # passes differs from float64 by ~4e-3 rel on the probs (measured,
+    # property-5 note); a wrong/unreplayed mask errors at O(1). dbias is
+    # the softmax-grad row-sum over all Ss=128 queries — near-cancelling
+    # sums accumulate that prob rounding to ~sqrt(Ss)·4e-3·|ds| absolute
+    # (measured max 0.017 on O(0.02) elements), so it gets an
+    # accumulation-scaled atol; still two orders below a mask error.
+    for g6, rf, name, at in zip(kg, ref, ("dq", "dk", "dv", "dbias"),
+                                (5e-3, 5e-3, 5e-3, 2.5e-2)):
+        np.testing.assert_allclose(np.asarray(g6), rf, rtol=5e-2,
+                                   atol=at, err_msg=name)
+    print("PASS dropout-path VJP (dq,dk,dv,dbias) matches a float64 host "
+          "reference built from the extracted realized mask")
     print("ALL PASS")
 
 
