@@ -88,7 +88,8 @@ def _train_like(args, mode: str):
         model_name="m3p" if args.is_m3p else "uc2",
         compute_dtype=None if args.fp32 else jnp.bfloat16, seed=args.seed,
         train_bank=train_bank, save_every=getattr(args, "save_every", 1),
-        mid_save=getattr(args, "mid_save", "none"))
+        mid_save=getattr(args, "mid_save", "none"),
+        fused_attn=getattr(args, "fused_attn", "auto"))
 
     if mode == "train":
         best = runner.finetune(resume=args.resume)

@@ -179,7 +179,8 @@ def multi_head_attention(
             # mask are recomputed in VMEM on the backward, never stored.
             # The dropout stream is the kernel PRNG's, not this rng's bits
             # directly — statistically equivalent to the XLA path, not
-            # bit-equal (EXPERIMENTAL opt-in; see ops/attention.py).
+            # bit-equal (M3P bf16 TPU default since round 4; see
+            # ops/attention.py for the same-day A/B numbers).
             from ..ops.attention import fused_attention_train
             ctx = fused_attention_train(q, k, v, bias4, num_heads,
                                         dropout_rate=dropout_rate, rng=rng)

@@ -24,12 +24,21 @@ layers.dropout): the backward re-seeds the identical PRNG stream and
 recomputes probs + mask in VMEM, so neither the [B,H,S,S] probs nor the
 dropout mask ever touch HBM, and the {2,0,1}<->{1,2,0} activation relayout
 copies XLA inserts around the head reshapes (~27 ms/step at M3P bs128
-S=140, XProf in docs/PERFORMANCE.md round 3) disappear with them. This is
-an EXPERIMENTAL opt-in (make_train_step(fused_attn=True)); the XLA path
-stays the training default until a same-day on-chip measurement wins.
-NOTE the attention-core REMAT experiment at UC2 S=76 lost (1782 vs 1958
-QA/s, perf ledger) — this kernel targets the M3P S=140 regime where the
-prob/relayout traffic is 3.4x larger per sample.
+S=140, XProf in docs/PERFORMANCE.md round 3) disappear with them.
+Same-day on-chip A/B (round 4, tools/profile_train.py --fused-attn):
+M3P 264.2 -> 250.9 ms/step (969 -> 1020 QA/s, WIN) — now the DEFAULT for
+the M3P bf16 recipe on TPU (FinetuneRunner fused_attn='auto'); UC2
+138.9 vs 128.5 ms (LOSS — XLA keeps the S=76 default, consistent with
+the eval kernel's bs-256/S-76 loss and the rejected attention-core REMAT
+at S=76: 1782 vs 1958 QA/s, perf ledger). Remaining kernel overhead is
+~18 ms of [B,S,H,hd]<->[B,H,S,hd] transpose_jvp around the kernel
+boundary in the backward (head split/merge lives outside the kernel) —
+the next lever if this path needs more.
+The dropout stream is the kernel PRNG's (seeded from the same fold_in
+chain), statistically equivalent to layers.dropout but not bit-equal —
+tools/check_attention_tpu.py verifies the 7 on-chip properties (fwd
+parity, VJP parity vs XLA at p=0, keep-rate, determinism, seed/offset
+decorrelation, bwd/fwd mask agreement, bf16 commutation).
 """
 from __future__ import annotations
 

@@ -39,7 +39,8 @@ class FinetuneRunner:
                  eval_batch_size: int | None = None,
                  eval_steps: int | None = None,
                  train_bank=None, async_ckpt: bool = True,
-                 save_every: int = 1, mid_save: str = "none"):
+                 save_every: int = 1, mid_save: str = "none",
+                 fused_attn: str = "auto"):
         self.fwd = model_forward
         self.cfg = cfg
         self.params0 = params0
@@ -121,6 +122,17 @@ class FinetuneRunner:
         self.eval_step = jax.jit(make_eval_step(
             model_forward, cfg, compute_dtype=compute_dtype,
             fused_attn=fused))
+        # Pallas custom-VJP train attention (ops/attention.py): default for
+        # the M3P bf16 recipe on TPU — at S=140 the in-VMEM probs+dropout
+        # recompute beats XLA's HBM relayouts (264.2 -> 250.9 ms/step
+        # same-day, docs/PERFORMANCE.md round 4); at UC2's S=76 XLA wins
+        # (128.5 -> 138.9), so auto keeps it off there.
+        if fused_attn not in ("auto", "on", "off"):
+            raise ValueError(f"fused_attn must be auto/on/off, "
+                             f"got {fused_attn!r}")
+        self.train_fused = (fused_attn == "on" or (
+            fused_attn == "auto" and compute_dtype == jnp.bfloat16
+            and model_name == "m3p" and jax.default_backend() == "tpu"))
 
     def _on_preempt(self, signum, frame):
         self._preempted = True
@@ -180,6 +192,7 @@ class FinetuneRunner:
             semantic_lambda=self.task_cfg.semantic_lambda,
             top_k=self.task_cfg.semantic_top_k,
             compute_dtype=self.compute_dtype,
+            fused_attn=self.train_fused,
             criterion=self.task_cfg.loss),
             donate_argnums=(0,))
 

@@ -163,3 +163,19 @@ def test_schedule_horizon_and_lr_logging(world):
     # trained steps end well before the horizon -> lr never decays to 0
     n_trained = steps_ep * runner.task_cfg.num_epoch
     assert runner._lr_of(n_trained) > 0.5 * base
+
+
+def test_train_fused_attn_resolution(world):
+    """fused_attn='auto' enables the Pallas train attention ONLY for the
+    M3P bf16 recipe on TPU (the measured S=140 win — ops/attention.py);
+    on the CPU test backend auto must resolve OFF for every model, and
+    the explicit 'on'/'off' overrides are honored as stated."""
+    import pytest
+    runner, _ = _runner(world, "fa_auto")
+    assert runner.train_fused is False          # uc2 + cpu backend
+    runner, _ = _runner(world, "fa_on", fused_attn="on")
+    assert runner.train_fused is True
+    runner, _ = _runner(world, "fa_off", fused_attn="off")
+    assert runner.train_fused is False
+    with pytest.raises(ValueError):
+        _runner(world, "fa_bad", fused_attn="yes")
