@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--detector", choices=("c4", "x101"), default="x101")
     ap.add_argument("--n", type=int, default=14)
     ap.add_argument("--device-batch", type=int, nargs="+", default=[1, 2])
+    ap.add_argument("--profile", action="store_true",
+                    help="XProf the steady-state run and print top device "
+                         "ops (stage attribution for docs/PERFORMANCE.md)")
     ap.add_argument("--workers", type=int, default=2,
                     help="prefetch/decode pool size; 0 = inline")
     args = ap.parse_args()
@@ -52,6 +55,24 @@ def main():
         print(f"{args.detector} device_batch={db} workers={args.workers}: {len(out)} imgs in "
               f"{dt:.2f}s -> {len(out)/dt:.2f} img/s "
               f"({1000*dt/len(out):.0f} ms/img)")
+        if args.profile:
+            import jax
+            from profile_train import top_ops_from_trace
+            logdir = f"/tmp/xprof_extract_{args.detector}_db{db}"
+            jax.profiler.start_trace(logdir)
+            list(ex.extract_many(iter(imgs), device_batch=db,
+                                 prefetch_workers=args.workers))
+            jax.profiler.stop_trace()
+            res = top_ops_from_trace(logdir)
+            if res is None:
+                print(f"  (no device trace rows under {logdir})")
+                continue
+            rows, total = res
+            n_prog = len(imgs) // db
+            print(f"  device op time {total / n_prog:.1f} ms/program "
+                  f"({db} img/program); top ops:")
+            for name, ms, pct in rows[:12]:
+                print(f"    {ms / n_prog:8.2f} ms {pct:5.1f}%  {name}")
 
 
 if __name__ == "__main__":
