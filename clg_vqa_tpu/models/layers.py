@@ -166,10 +166,41 @@ def multi_head_attention(
     if fused:
         if Sq != Skv or x_q is not x_kv and x_q.shape != x_kv.shape:
             raise ValueError("fused attention requires self-attention")
+        bias4 = jnp.broadcast_to(attn_bias, (B, 1, 1, Skv))
+        if fused == "hm" and not deterministic:
+            # Head-major variant: project straight INTO the kernel's
+            # [B, H, S, hd] block layout and consume its output head-major,
+            # so the [B,S,D]<->[B,H,S,hd] split/merge transposes (and their
+            # transpose_jvp twins on the backward, ~18 ms/step at M3P
+            # bs128 — docs/PERFORMANCE.md round 4) never exist. Distinct
+            # from the REJECTED head-major experiment in the perf ledger:
+            # that fed the XLA attention core, whose relayouts merely
+            # moved; here the kernel consumes the layout natively.
+            def head_linear(x, pp):
+                w = pp["w"].reshape(D, num_heads, hd)
+                if compute_dtype is not None:
+                    x = x.astype(compute_dtype)
+                    w = w.astype(compute_dtype)
+                y = jnp.einsum("bsd,dhe->bhse", x, w,
+                               preferred_element_type=jnp.float32)
+                y = y + pp["b"].reshape(num_heads, hd)[None, :, None, :]
+                return y if compute_dtype is None else y.astype(compute_dtype)
+
+            from ..ops.attention import fused_attention_train_hm
+            ctx = fused_attention_train_hm(
+                head_linear(x_q, p["q"]), head_linear(x_kv, p["k"]),
+                head_linear(x_kv, p["v"]), bias4,
+                dropout_rate=dropout_rate, rng=rng)
+            wo = p["o"]["w"].reshape(num_heads, hd, D)
+            if compute_dtype is not None:
+                ctx = ctx.astype(compute_dtype)
+                wo = wo.astype(compute_dtype)
+            y = jnp.einsum("bhse,hed->bsd", ctx, wo,
+                           preferred_element_type=jnp.float32) + p["o"]["b"]
+            return y if compute_dtype is None else y.astype(compute_dtype)
         q = linear(x_q, p["q"], compute_dtype)
         k = linear(x_kv, p["k"], compute_dtype)
         v = linear(x_kv, p["v"], compute_dtype)
-        bias4 = jnp.broadcast_to(attn_bias, (B, 1, 1, Skv))
         if deterministic:
             # forward-only eval kernel (no VJP)
             from ..ops.attention import fused_attention

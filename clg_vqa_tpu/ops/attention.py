@@ -264,6 +264,46 @@ _attn_train_core.defvjp(lambda qh, kh, vh, b2, seed, keep_t:
                         _attn_train_bwd)
 
 
+def _dropout_seed(dropout_rate: float, rng):
+    """(keep_t, seed) pair shared by the train entries: u8 keep threshold
+    with layers.dropout rounding, one int32 seed scalar for the kernel PRNG
+    (shaped [1,1] for SMEM)."""
+    t = 256
+    if dropout_rate > 0.0:
+        t = max(int(round((1.0 - dropout_rate) * 256.0)), 1)
+    if t < 256 and rng is None:
+        raise ValueError("dropout_rate > 0 requires an rng key")
+    seed = (jax.random.bits(rng, (1, 1), jnp.uint32).astype(jnp.int32)
+            if t < 256 else jnp.zeros((1, 1), jnp.int32))
+    return t, seed
+
+
+def fused_attention_train_hm(qh: jnp.ndarray, kh: jnp.ndarray,
+                             vh: jnp.ndarray, bias: jnp.ndarray, *,
+                             dropout_rate: float = 0.0,
+                             rng=None) -> jnp.ndarray:
+    """Head-major training entry: q/k/v arrive PRE-SPLIT as [B, H, S, hd]
+    (the kernel's native block layout) and the context returns [B, H, S, hd].
+
+    fused_attention_train pays a [B,S,H*hd] -> [B,H,S,hd] transpose per
+    operand outside the kernel — and their transpose_jvp twins on the
+    backward (~18 ms/step at M3P bs128, docs/PERFORMANCE.md round 4). When
+    the caller can project INTO head-major and consume head-major out (see
+    layers.multi_head_attention fused='hm'), those transposes never exist.
+    bias: [B, 1, 1, S] additive key-side, same contract as the flat entry.
+    """
+    B, H, S, D = qh.shape
+    S_pad = -(-S // 8) * 8
+    if S_pad != S:
+        pad = ((0, 0), (0, 0), (0, S_pad - S), (0, 0))
+        qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
+    b2 = jnp.pad(bias[:, 0, 0, :], ((0, 0), (0, S_pad - S)),
+                 constant_values=-1e9)[:, None, :]          # [B, 1, S_pad]
+    t, seed = _dropout_seed(dropout_rate, rng)
+    out = _attn_train_core(qh, kh, vh, b2, seed, t)
+    return out[:, :, :S, :]
+
+
 def fused_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: jnp.ndarray, num_heads: int, *,
                           dropout_rate: float = 0.0,
@@ -288,13 +328,6 @@ def fused_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qh, kh, vh = split(q), split(k), split(v)
     b2 = jnp.pad(bias[:, 0, 0, :], ((0, 0), (0, S_pad - S)),
                  constant_values=-1e9)[:, None, :]          # [B, 1, S_pad]
-    t = 256
-    if dropout_rate > 0.0:
-        t = int(round((1.0 - dropout_rate) * 256.0))        # layers.dropout
-        t = max(t, 1)
-    if t < 256 and rng is None:
-        raise ValueError("dropout_rate > 0 requires an rng key")
-    seed = (jax.random.bits(rng, (1, 1), jnp.uint32).astype(jnp.int32)
-            if t < 256 else jnp.zeros((1, 1), jnp.int32))
+    t, seed = _dropout_seed(dropout_rate, rng)
     out = _attn_train_core(qh, kh, vh, b2, seed, t)
     return out[:, :, :S, :].transpose(0, 2, 1, 3).reshape(B, S, HD)

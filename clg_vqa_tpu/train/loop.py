@@ -127,7 +127,8 @@ def make_loss_fn(model_forward: Callable, cfg, distance_matrix, *,
         logits = model_forward(params, cfg, mb, deterministic=rng is None,
                                rng=rng, compute_dtype=compute_dtype,
                                remat=remat, unroll=unroll,
-                               **({"fused_attn": True} if fused_attn else {}))
+                               **({"fused_attn": fused_attn}
+                                  if fused_attn else {}))
         loss = gqa_train_loss(
             logits, mb["labels"], distance_matrix,
             semantic_lambda=semantic_lambda, top_k=top_k,
@@ -147,10 +148,14 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
                     remat: bool = False,
                     unroll: bool = True,
                     unroll_accum: bool = False,
-                    fused_attn: bool = False,
+                    fused_attn=False,
                     criterion: str = "CrossEntropyLoss") -> Callable:
     """Returns train_step(state, batch, rng, bank=None, grad_mask_rt=None)
     -> (state, metrics).
+
+    fused_attn: False = XLA attention; True = Pallas custom-VJP kernel
+    (flat [B,S,D] boundary); "hm" = same kernel fed head-major (projections
+    emit [B,H,S,hd] directly — see layers.multi_head_attention).
 
     ``batch`` leaves are shaped [grad_acc, micro_bs, ...]. With a device
     feature bank, batches carry int32 'store_idx' instead of features and

@@ -259,3 +259,63 @@ def test_train_step_fused_attn_integration():
                 for a, b in zip(jax.tree.leaves(state.params),
                                 jax.tree.leaves(state2.params)))
     assert moved and int(state2.step) == 1
+
+
+def test_fused_hm_matches_flat_and_xla():
+    """fused='hm' (head-major projections -> kernel -> head-major output
+    proj) must match the XLA MHA path in values AND grads at rate 0: the
+    layout change moves transposes, never numerics (f32, rtol-level —
+    einsum tiling may differ from jnp.dot's)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.models.layers import multi_head_attention
+    r = np.random.RandomState(3)
+    B, S, H, hd = 2, 20, 4, 8
+    D = H * hd
+    x = jnp.asarray(r.randn(B, S, D), jnp.float32)
+    p = {k: {"w": jnp.asarray(r.randn(D, D) / np.sqrt(D), jnp.float32),
+             "b": jnp.asarray(r.randn(D) * 0.1, jnp.float32)}
+         for k in ("q", "k", "v", "o")}
+    mask = np.ones((B, S), np.float32)
+    mask[1, -5:] = 0
+    bias = jnp.asarray(((1 - mask) * -10000.0)[:, None, None, :])
+    w = jnp.asarray(r.randn(B, S, D), jnp.float32)
+    rng = jax.random.key(0)
+
+    def loss(params, fused):
+        y = multi_head_attention(x, x, params, H, bias, dropout_rate=0.0,
+                                 rng=rng, deterministic=False, fused=fused)
+        return jnp.sum(y * w)
+
+    ref_val, ref_g = jax.value_and_grad(loss)(p, False)
+    with pltpu.force_tpu_interpret_mode():
+        val, g = jax.value_and_grad(loss)(p, "hm")
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=2e-5)
+    for k in ("q", "k", "v", "o"):
+        for leaf in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(g[k][leaf]), np.asarray(ref_g[k][leaf]),
+                rtol=3e-4, atol=3e-4, err_msg=f"{k}.{leaf}")
+
+
+def test_fused_hm_dropout_applies():
+    """rate>0 through fused='hm' actually drops (and is rng-deterministic)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.models.layers import multi_head_attention
+    r = np.random.RandomState(4)
+    B, S, H, hd = 2, 16, 2, 8
+    D = H * hd
+    x = jnp.asarray(r.randn(B, S, D), jnp.float32)
+    p = {k: {"w": jnp.asarray(r.randn(D, D) / np.sqrt(D), jnp.float32),
+             "b": jnp.zeros((D,), jnp.float32)} for k in ("q", "k", "v", "o")}
+    bias = jnp.zeros((B, 1, 1, S), jnp.float32)
+    kw = dict(dropout_rate=0.5, deterministic=False, fused="hm")
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(multi_head_attention(x, x, p, H, bias,
+                                            rng=jax.random.key(1), **kw))
+        b = np.asarray(multi_head_attention(x, x, p, H, bias,
+                                            rng=jax.random.key(1), **kw))
+        base = np.asarray(multi_head_attention(
+            x, x, p, H, bias, dropout_rate=0.0, rng=jax.random.key(1),
+            deterministic=False, fused="hm"))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - base).max() > 1e-6

@@ -66,6 +66,10 @@ def main():
                     help="A/B the Pallas custom-VJP train attention "
                          "(ops/attention.fused_attention_train): probs + "
                          "dropout mask recomputed in VMEM, never in HBM")
+    ap.add_argument("--fused-hm", action="store_true",
+                    help="head-major variant of --fused-attn: projections "
+                         "emit [B,H,S,hd] straight into the kernel blocks "
+                         "(no split/merge transposes, no transpose_jvp)")
     args = ap.parse_args()
 
     import jax
@@ -103,7 +107,7 @@ def main():
     step = jax.jit(tl.make_train_step(
         mod.forward, cfg, opt, D, semantic_lambda=10.0, top_k=10,
         compute_dtype=jnp.bfloat16, unroll_accum=unroll_accum,
-        fused_attn=args.fused_attn),
+        fused_attn="hm" if args.fused_hm else args.fused_attn),
         donate_argnums=(0,))
 
     acc, mbs = args.acc, args.mbs
