@@ -172,10 +172,11 @@ def multi_head_attention(
             # [B, H, S, hd] block layout and consume its output head-major,
             # so the [B,S,D]<->[B,H,S,hd] split/merge transposes (and their
             # transpose_jvp twins on the backward, ~18 ms/step at M3P
-            # bs128 — docs/PERFORMANCE.md round 4) never exist. Distinct
-            # from the REJECTED head-major experiment in the perf ledger:
-            # that fed the XLA attention core, whose relayouts merely
-            # moved; here the kernel consumes the layout natively.
+            # bs128 — docs/PERFORMANCE.md round 4) never exist. MEASURED
+            # AND REJECTED as a default: M3P 252.9 vs 250.9 ms flat, UC2
+            # 144.1 vs 138.9 — the projection einsums (hd=64 minor dim,
+            # half-empty lane tiles) give back what the transposes save.
+            # Kept as a tested opt-in; see the perf ledger.
             def head_linear(x, pp):
                 w = pp["w"].reshape(D, num_heads, hd)
                 if compute_dtype is not None:

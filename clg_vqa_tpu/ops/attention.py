@@ -291,6 +291,11 @@ def fused_attention_train_hm(qh: jnp.ndarray, kh: jnp.ndarray,
     the caller can project INTO head-major and consume head-major out (see
     layers.multi_head_attention fused='hm'), those transposes never exist.
     bias: [B, 1, 1, S] additive key-side, same contract as the flat entry.
+
+    Measured same-day and REJECTED as a default (M3P 252.9 vs 250.9 ms
+    flat, UC2 144.1 vs 138.9): the head-major projection einsums lose the
+    MXU efficiency the removed transposes saved. Kept as a tested opt-in;
+    docs/PERFORMANCE.md "Head-major kernel feed".
     """
     B, H, S, D = qh.shape
     S_pad = -(-S // 8) * 8
