@@ -332,7 +332,8 @@ def main(argv=None):
     sp.add_argument("--device_batch", type=int, default=1,
                     help="images per device program (vmapped pipeline, "
                          "better conv utilization; measured sweet spots: "
-                         "2 for C4, 4 for X101 — PERFORMANCE.md round 4)")
+                         "4 for C4, 16 for X101 (HBM ceiling) — "
+                         "PERFORMANCE.md round 4)")
     for f, hint in (("short", "resize short side (MIN_SIZE_TEST)"),
                     ("max_size", "long-side cap (MAX_SIZE_TEST)"),
                     ("pad_h", "padded device height"),
