@@ -195,6 +195,14 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
         # full-scale rehearsal).
         if step_index is not None:
             rng = jax.random.fold_in(rng, step_index)
+        # NOTE the in-step bank gather costs M3P ~17 ms/step vs resident
+        # features (268.7 vs 251.4 ms same-day — the whole 6% "integrated
+        # gap"); three formulations measured identical (per-microbatch
+        # gather here, a hoisted one-gather-per-step variant, a one-hot
+        # MXU matmul), so the cost is XLA's layout for device-PRODUCED
+        # features, not the gather op. Documented negative result —
+        # docs/PERFORMANCE.md round 4 — kept per-microbatch for the lower
+        # peak memory.
         acc = jax.tree.leaves(batch)[0].shape[0]
         rngs = jax.random.split(rng, acc) if use_dropout else None
 
