@@ -319,3 +319,51 @@ def test_fused_hm_dropout_applies():
             deterministic=False, fused="hm"))
     np.testing.assert_array_equal(a, b)
     assert np.abs(a - base).max() > 1e-6
+
+
+def test_fused_train_step_matches_xla_step():
+    """Full make_train_step integration of the kernel (the M3P bf16 TPU
+    default): with attention dropout at 0, one fused step must track the
+    XLA step's loss and updated params (f32 compute, interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.config import M3PConfig
+    from clg_vqa_tpu.models import m3p
+    from clg_vqa_tpu.train import loop as tl
+    from clg_vqa_tpu.train.optim import (make_optimizer,
+                                         warmup_linear_schedule)
+    from clg_vqa_tpu.models.layers import unstack_layer_params
+    r = np.random.RandomState(0)
+    cfg = M3PConfig(num_layers=2, hidden_size=32, num_heads=4,
+                    vocab_size=80, v_feature_size=16, num_labels=8,
+                    attention_dropout=0.0, dropout=0.0,
+                    clf_dropout_prob=0.0)
+    params = m3p.init_params(jax.random.key(0), cfg)
+    D = jnp.zeros((8, 8), jnp.float32)
+    opt = make_optimizer(unstack_layer_params(params, 2),
+                         warmup_linear_schedule(1e-3, 2, 100))
+    batch = {"input_ids": jnp.asarray(r.randint(3, 80, (2, 4, 6)), jnp.int32),
+             "input_mask": jnp.ones((2, 4, 6), jnp.int32),
+             "features": jnp.asarray(r.randn(2, 4, 5, 16), jnp.float32),
+             "locs": jnp.asarray(r.rand(2, 4, 5, 5), jnp.float32),
+             "image_mask": jnp.ones((2, 4, 5), jnp.int32),
+             "labels": jnp.asarray(r.randint(0, 8, (2, 4)), jnp.int32)}
+    rng = jax.random.key(0, impl="rbg")
+
+    def one_step(fused):
+        step = tl.make_train_step(m3p.forward, cfg, opt, D,
+                                  semantic_lambda=0.0, compute_dtype=None,
+                                  fused_attn=fused)
+        st = tl.perlayer_state(
+            tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32)),
+            2)
+        return step(st, batch, rng, None, None, jnp.int32(0))
+
+    st_ref, m_ref = one_step(False)
+    with pltpu.force_tpu_interpret_mode():
+        st_k, m_k = one_step(True)
+    np.testing.assert_allclose(float(m_k["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_k.params),
+                    jax.tree.leaves(st_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
