@@ -63,9 +63,14 @@ def _measure():
     state = tl.perlayer_state(
         tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32)),
         cfg.num_layers)
+    # flat-boundary Pallas train attention: the product default for bf16 on
+    # TPU (FinetuneRunner fused_attn='auto'; UC2 130.0 -> 124.2 ms/step
+    # same-day, docs/PERFORMANCE.md round 4). Non-TPU fallback keeps XLA so
+    # the script still runs on a CPU debug box.
+    fused = "flat" if jax.default_backend() == "tpu" else False
     step = jax.jit(
         tl.make_train_step(uc2.forward, cfg, opt, D, semantic_lambda=10.0,
-                           unroll_accum=True),
+                           unroll_accum=True, fused_attn=fused),
         donate_argnums=(0,))
 
     # grad-accum layout: 2x128 is mathematically identical to the reference's

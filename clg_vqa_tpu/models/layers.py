@@ -202,6 +202,17 @@ def multi_head_attention(
         q = linear(x_q, p["q"], compute_dtype)
         k = linear(x_kv, p["k"], compute_dtype)
         v = linear(x_kv, p["v"], compute_dtype)
+        if fused == "flat" and not deterministic:
+            # Flat-boundary training kernel: heads looped INSIDE the kernel
+            # over 64-aligned lane slices — q/k/v keep the projections'
+            # [B,S,D] layout end to end, so the split/merge transposes and
+            # their backward transpose_jvp twins (~18 ms/step at M3P bs128)
+            # never exist. See ops/attention.fused_attention_train_flat.
+            from ..ops.attention import fused_attention_train_flat
+            ctx = fused_attention_train_flat(q, k, v, bias4, num_heads,
+                                             dropout_rate=dropout_rate,
+                                             rng=rng)
+            return linear(ctx, p["o"], compute_dtype)
         if deterministic:
             # forward-only eval kernel (no VJP)
             from ..ops.attention import fused_attention

@@ -26,14 +26,22 @@ dropout mask ever touch HBM, and the {2,0,1}<->{1,2,0} activation relayout
 copies XLA inserts around the head reshapes (~27 ms/step at M3P bs128
 S=140, XProf in docs/PERFORMANCE.md round 3) disappear with them.
 Same-day on-chip A/B (round 4, tools/profile_train.py --fused-attn):
-M3P 264.2 -> 250.9 ms/step (969 -> 1020 QA/s, WIN) — now the DEFAULT for
-the M3P bf16 recipe on TPU (FinetuneRunner fused_attn='auto'); UC2
-138.9 vs 128.5 ms (LOSS — XLA keeps the S=76 default, consistent with
-the eval kernel's bs-256/S-76 loss and the rejected attention-core REMAT
-at S=76: 1782 vs 1958 QA/s, perf ledger). Remaining kernel overhead is
-~18 ms of [B,S,H,hd]<->[B,H,S,hd] transpose_jvp around the kernel
-boundary in the backward (head split/merge lives outside the kernel) —
-the next lever if this path needs more.
+M3P 264.2 -> 250.9 ms/step (969 -> 1020 QA/s, WIN); UC2 138.9 vs
+128.5 ms (LOSS at S=76). The remaining overhead was ~18 ms of
+[B,S,H,hd]<->[B,H,S,hd] transpose_jvp around the kernel boundary in the
+backward (head split/merge lived outside the kernel).
+
+``fused_attention_train_flat`` — the flat-boundary variant that removed
+that overhead and is now the DEFAULT for BOTH recipes in bf16 on TPU
+(FinetuneRunner fused_attn='auto'): q/k/v keep the projections' natural
+[B, S, H*hd] layout end to end and heads are looped INSIDE the kernel
+over static 64-aligned lane slices, so the split/merge transposes and
+their backward twins never exist at all. Same-day A/B vs the XLA path:
+M3P 253.5 -> 213.7 ms/step (1010 -> 1198 QA/s, +18.6%), UC2 130.0 ->
+124.2 (1970 -> 2062 QA/s, +4.7%) — the first kernel that also beats XLA
+at UC2's S=76. The head-blocked kernel stays as the grid-parallel
+reference implementation (both models run hd=64, so the in-kernel head
+slices land on 64-aligned lane offsets).
 The dropout stream is the kernel PRNG's (seeded from the same fold_in
 chain), statistically equivalent to layers.dropout but not bit-equal —
 tools/check_attention_tpu.py verifies the 7 on-chip properties (fwd
@@ -307,6 +315,185 @@ def fused_attention_train_hm(qh: jnp.ndarray, kh: jnp.ndarray,
     t, seed = _dropout_seed(dropout_rate, rng)
     out = _attn_train_core(qh, kh, vh, b2, seed, t)
     return out[:, :, :S, :]
+
+
+# ---------------------------------------------------------------------------
+# Flat-boundary training kernel: heads are looped INSIDE the kernel over
+# static 64-aligned lane slices of the [B, S, H*hd] blocks, so the
+# [B,S,H*hd] <-> [B,H,S,hd] split/merge transposes — and their
+# transpose_jvp twins on the backward (~18 ms/step at M3P bs128,
+# docs/PERFORMANCE.md round 4) — never exist at all. Same dropout
+# semantics as the head-blocked kernel (sequential per-head PRNG draws;
+# the backward replays the identical call sequence).
+# ---------------------------------------------------------------------------
+
+def _flat_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                     *, scale: float, keep_t: int, num_heads: int):
+    # blocks: q/k/v/o [BT, S, HD], bias [BT, 1, S]
+    if keep_t < 256:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    hd = q_ref.shape[-1] // num_heads
+    b = bias_ref[:]                                   # [BT, 1, S]
+    for h in range(num_heads):
+        sl = pl.ds(h * hd, hd)
+        q = q_ref[:, :, sl].astype(jnp.float32)       # [BT, S, hd]
+        k = k_ref[:, :, sl].astype(jnp.float32)
+        v = v_ref[:, :, sl].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        scores = scores + b
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if keep_t < 256:
+            p = jnp.where(_keep_mask(p.shape, keep_t),
+                          p * (256.0 / keep_t), 0.0)
+        out = jax.lax.dot_general(
+            p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = out.astype(o_ref.dtype)
+
+
+def _flat_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, db_ref,
+                     *, scale: float, keep_t: int, num_heads: int):
+    if keep_t < 256:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    hd = q_ref.shape[-1] // num_heads
+    b = bias_ref[:]
+    db_acc = jnp.zeros(db_ref.shape, jnp.float32)
+    for h in range(num_heads):
+        sl = pl.ds(h * hd, hd)
+        q = q_ref[:, :, sl].astype(jnp.float32)
+        k = k_ref[:, :, sl].astype(jnp.float32)
+        v = v_ref[:, :, sl].astype(jnp.float32)
+        do = do_ref[:, :, sl].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        scores = scores + b
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if keep_t < 256:
+            # identical PRNG call sequence as the forward -> identical masks
+            keep = _keep_mask(p.shape, keep_t)
+            r = 256.0 / keep_t
+            pd = jnp.where(keep, p * r, 0.0)
+        else:
+            pd = p
+        dv = jax.lax.dot_general(                     # pd^T do
+            pd, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dpd = jax.lax.dot_general(                    # do v^T
+            do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dp = jnp.where(keep, dpd * r, 0.0) if keep_t < 256 else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+        db_acc = db_acc + jnp.sum(ds, axis=1)[:, None, :]
+    db_ref[:] = db_acc.astype(db_ref.dtype)
+
+
+def _bt_flat(B: int, S: int, HD: int) -> int:
+    """Largest batch tile keeping the kernel's resident blocks under a
+    conservative VMEM budget (inputs double-buffer across grid steps).
+
+    Sized for the BACKWARD's block set (10 q/k/v/do/dq/dk/dv-sized blocks
+    incl. double buffering) and used by the forward too: the dropout mask
+    is a per-grid-cell PRNG stream (prng_seed(seed + program_id)), so the
+    forward and backward MUST run the identical grid for the backward's
+    replay to realize the same mask (checked on chip by
+    tools/check_attention_tpu.py --flat, property 6a)."""
+    budget = 10 * 1024 * 1024
+    per_sample = 8 * S * HD * 2 * 2 + 3 * S * S * 4   # bf16 blocks x2buf
+    bt = max(1, min(8, budget // max(per_sample, 1), B))
+    while B % bt:
+        bt -= 1
+    return bt
+
+
+def _flat_specs(S, HD, bt):
+    qkv = pl.BlockSpec((bt, S, HD), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((bt, 1, S), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
+    return qkv, bias, seed
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _attn_train_core_flat(q, k, v, b2, seed, keep_t, num_heads):
+    out, _ = _attn_train_flat_fwd(q, k, v, b2, seed, keep_t, num_heads)
+    return out
+
+
+def _attn_train_flat_fwd(q, k, v, b2, seed, keep_t, num_heads):
+    B, S, HD = q.shape
+    bt = _bt_flat(B, S, HD)
+    qkv, bias, seedspec = _flat_specs(S, HD, bt)
+    out = pl.pallas_call(
+        functools.partial(_flat_fwd_kernel, scale=1.0 / math.sqrt(HD // num_heads),
+                          keep_t=keep_t, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+        grid=(B // bt,),
+        in_specs=[seedspec, qkv, qkv, qkv, bias],
+        out_specs=qkv,
+    )(seed, q, k, v, b2)
+    return out, (q, k, v, b2, seed)
+
+
+def _attn_train_flat_bwd(keep_t, num_heads, res, g):
+    q, k, v, b2, seed = res
+    B, S, HD = q.shape
+    bt = _bt_flat(B, S, HD)
+    qkv, bias, seedspec = _flat_specs(S, HD, bt)
+    dq, dk, dv, db = pl.pallas_call(
+        functools.partial(_flat_bwd_kernel, scale=1.0 / math.sqrt(HD // num_heads),
+                          keep_t=keep_t, num_heads=num_heads),
+        out_shape=[jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+                   jax.ShapeDtypeStruct((B, S, HD), k.dtype),
+                   jax.ShapeDtypeStruct((B, S, HD), v.dtype),
+                   jax.ShapeDtypeStruct((B, 1, S), jnp.float32)],
+        grid=(B // bt,),
+        in_specs=[seedspec, qkv, qkv, qkv, bias, qkv],
+        out_specs=[qkv, qkv, qkv, bias],
+    )(seed, q, k, v, b2, g)
+    import numpy as np
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, db, dseed
+
+
+_attn_train_core_flat.defvjp(
+    lambda q, k, v, b2, seed, keep_t, num_heads:
+        _attn_train_flat_fwd(q, k, v, b2, seed, keep_t, num_heads),
+    _attn_train_flat_bwd)
+
+
+def fused_attention_train_flat(q: jnp.ndarray, k: jnp.ndarray,
+                               v: jnp.ndarray, bias: jnp.ndarray,
+                               num_heads: int, *,
+                               dropout_rate: float = 0.0,
+                               rng=None) -> jnp.ndarray:
+    """Flat-boundary training kernel: q/k/v stay [B, S, H*hd] end to end
+    (the projections' natural output layout) and heads are looped inside
+    the kernel over static 64-aligned lane slices — no head split/merge
+    transposes outside the kernel, so their transpose_jvp twins never
+    appear on the backward path. bias: [B, 1, 1, S] additive key-side,
+    same contract as fused_attention_train."""
+    B, S, HD = q.shape
+    b2 = bias[:, 0, 0, :][:, None, :]                 # [B, 1, S]
+    t, seed = _dropout_seed(dropout_rate, rng)
+    return _attn_train_core_flat(q, k, v, b2, seed, t, num_heads)
 
 
 def fused_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -122,17 +122,19 @@ class FinetuneRunner:
         self.eval_step = jax.jit(make_eval_step(
             model_forward, cfg, compute_dtype=compute_dtype,
             fused_attn=fused))
-        # Pallas custom-VJP train attention (ops/attention.py): default for
-        # the M3P bf16 recipe on TPU — at S=140 the in-VMEM probs+dropout
-        # recompute beats XLA's HBM relayouts (264.2 -> 250.9 ms/step
-        # same-day, docs/PERFORMANCE.md round 4); at UC2's S=76 XLA wins
-        # (128.5 -> 138.9), so auto keeps it off there.
+        # Pallas custom-VJP train attention (ops/attention.py): the
+        # flat-boundary kernel (heads looped in-kernel over lane slices, no
+        # split/merge transposes anywhere) is the default for BOTH recipes
+        # in bf16 on TPU — same-day A/Bs vs the XLA path: M3P 253.5 ->
+        # 213.7 ms/step (+18.6%), UC2 130.0 -> 124.2 (+4.7%)
+        # (docs/PERFORMANCE.md round 4). `on` forces the same kernel off-
+        # policy; fp32 parity mode and non-TPU backends keep XLA.
         if fused_attn not in ("auto", "on", "off"):
             raise ValueError(f"fused_attn must be auto/on/off, "
                              f"got {fused_attn!r}")
-        self.train_fused = (fused_attn == "on" or (
+        self.train_fused = "flat" if (fused_attn == "on" or (
             fused_attn == "auto" and compute_dtype == jnp.bfloat16
-            and model_name == "m3p" and jax.default_backend() == "tpu"))
+            and jax.default_backend() == "tpu")) else False
 
     def _on_preempt(self, signum, frame):
         self._preempted = True

@@ -94,18 +94,23 @@ def _mk_inputs(S, B=3, H=4, D=32, seed=0):
     return q, k, v, bias, w, H
 
 
+@pytest.mark.parametrize("entry", ["blocked", "flat"])
 @pytest.mark.parametrize("S", [76, 140, 64])
-def test_fused_train_matches_xla_values_and_grads(S):
-    """rate=0: value AND (dq, dk, dv, dbias) must match the XLA path."""
+def test_fused_train_matches_xla_values_and_grads(S, entry):
+    """rate=0: value AND (dq, dk, dv, dbias) must match the XLA path —
+    for both the head-blocked kernel and the flat-boundary variant
+    (heads looped in-kernel over 64-aligned lane slices)."""
     from jax.experimental.pallas import tpu as pltpu
-    from clg_vqa_tpu.ops.attention import fused_attention_train
+    from clg_vqa_tpu.ops import attention as A
+    kernel = (A.fused_attention_train if entry == "blocked"
+              else A.fused_attention_train_flat)
     q, k, v, bias, w, H = _mk_inputs(S)
 
     def ref_loss(q, k, v, bias):
         return jnp.sum(xla_attention_b(q, k, v, bias, H) * w)
 
     def ker_loss(q, k, v, bias):
-        return jnp.sum(fused_attention_train(q, k, v, bias, H) * w)
+        return jnp.sum(kernel(q, k, v, bias, H) * w)
 
     ref_val, ref_grads = jax.value_and_grad(ref_loss, (0, 1, 2, 3))(
         q, k, v, bias)

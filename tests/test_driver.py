@@ -166,15 +166,15 @@ def test_schedule_horizon_and_lr_logging(world):
 
 
 def test_train_fused_attn_resolution(world):
-    """fused_attn='auto' enables the Pallas train attention ONLY for the
-    M3P bf16 recipe on TPU (the measured S=140 win — ops/attention.py);
-    on the CPU test backend auto must resolve OFF for every model, and
+    """fused_attn='auto' enables the flat-boundary Pallas train attention
+    only in bf16 on TPU (the measured win for both recipes —
+    ops/attention.py); on the CPU test backend auto must resolve OFF, and
     the explicit 'on'/'off' overrides are honored as stated."""
     import pytest
     runner, _ = _runner(world, "fa_auto")
-    assert runner.train_fused is False          # uc2 + cpu backend
+    assert runner.train_fused is False          # cpu backend -> XLA path
     runner, _ = _runner(world, "fa_on", fused_attn="on")
-    assert runner.train_fused is True
+    assert runner.train_fused == "flat"
     runner, _ = _runner(world, "fa_off", fused_attn="off")
     assert runner.train_fused is False
     with pytest.raises(ValueError):

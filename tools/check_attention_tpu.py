@@ -17,7 +17,12 @@ properties interpret mode cannot:
      reference built from the extracted realized mask
 
 Exits nonzero on any failure; prints one PASS line per property.
+
+``--flat`` runs the same 7 properties against the flat-boundary kernel
+(ops/attention.fused_attention_train_flat — the bf16 TPU train default);
+the default run checks the head-blocked kernel.
 """
+import argparse
 import os
 import sys
 
@@ -41,9 +46,18 @@ def xla_attention(q, k, v, bias, num_heads):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--flat", action="store_true",
+                    help="check the flat-boundary kernel (the bf16 TPU "
+                         "train default) instead of the head-blocked one")
+    args = ap.parse_args()
     assert jax.default_backend() == "tpu", \
         f"needs the real TPU (got {jax.default_backend()})"
-    from clg_vqa_tpu.ops.attention import fused_attention_train
+    from clg_vqa_tpu.ops import attention as A
+    fused_attention_train = (A.fused_attention_train_flat if args.flat
+                             else A.fused_attention_train)
+    print(f"kernel under test: "
+          f"{'flat-boundary' if args.flat else 'head-blocked'}")
 
     r = np.random.RandomState(0)
     B, S, H, D = 8, 140, 12, 64
@@ -148,9 +162,19 @@ def main():
 
     lv, dv = jax.value_and_grad(loss_v)(v)
     inner = float(jnp.vdot(dv, v))
-    np.testing.assert_allclose(inner, float(lv), rtol=5e-3)
+    # ABSOLUTE bound, calibrated on hardware: both sides are near-
+    # cancelling sums of ~860k signed O(1) terms, so when the total lands
+    # near zero an rtol is meaningless. Measured over 10 (seed, kernel)
+    # combos at these fixed shapes/inputs: bf16-operand rounding noise
+    # (the fwd's p@v rounds v, the bwd's pd^T@do rounds do=w) reaches at
+    # most 0.53 absolute; a genuine fwd/bwd mask divergence (the flat
+    # kernel's grid-mismatch bug, caught by this property) measured 20.25
+    # — a 38x separation. 2.0 sits ~4x above worst rounding and ~10x
+    # below the bug signal.
+    assert abs(inner - float(lv)) < 2.0, (inner, float(lv))
     print(f"PASS v-linearity: <dv, v> = {inner:.2f} == loss = "
-          f"{float(lv):.2f} (fwd and bwd realize the same mask)")
+          f"{float(lv):.2f} +- 2.0 calibrated "
+          f"(fwd and bwd realize the same mask)")
 
     # 6b. full dropout-path VJP vs a float64 HOST reference built from the
     #     extracted realized mask (H=1 config of property 5; the mask is a

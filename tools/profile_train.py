@@ -70,6 +70,10 @@ def main():
                     help="head-major variant of --fused-attn: projections "
                          "emit [B,H,S,hd] straight into the kernel blocks "
                          "(no split/merge transposes, no transpose_jvp)")
+    ap.add_argument("--fused-flat", action="store_true",
+                    help="flat-boundary variant of --fused-attn: q/k/v stay "
+                         "[B,S,H*hd], heads looped INSIDE the kernel over "
+                         "64-aligned lane slices (no transposes at all)")
     args = ap.parse_args()
 
     import jax
@@ -107,7 +111,8 @@ def main():
     step = jax.jit(tl.make_train_step(
         mod.forward, cfg, opt, D, semantic_lambda=10.0, top_k=10,
         compute_dtype=jnp.bfloat16, unroll_accum=unroll_accum,
-        fused_attn="hm" if args.fused_hm else args.fused_attn),
+        fused_attn=("hm" if args.fused_hm else
+                    "flat" if args.fused_flat else args.fused_attn)),
         donate_argnums=(0,))
 
     acc, mbs = args.acc, args.mbs
