@@ -48,9 +48,20 @@ class DeviceFeatureBank:
         return (self.features, self.locs, self.image_mask)
 
     @staticmethod
-    def gather_from(tensors, store_idx: jnp.ndarray):
+    def gather_from(tensors, store_idx: jnp.ndarray, *,
+                    pallas: bool = False):
+        """pallas=True routes the (dominant) feature gather through the
+        scalar-prefetch DMA kernel (ops/bank_gather.rows_gather) instead of
+        an XLA gather — decouples the gathered activations' layout from
+        XLA's fusion choices (the M3P in-step gather cost, see
+        docs/PERFORMANCE.md round 4). locs/mask stay XLA gathers (tiny)."""
         f, l, m = tensors
-        return f[store_idx], l[store_idx], m[store_idx]
+        if pallas:
+            from ..ops.bank_gather import rows_gather
+            fg = rows_gather(f, store_idx)
+        else:
+            fg = f[store_idx]
+        return fg, l[store_idx], m[store_idx]
 
     def fill_batch(self, batch: dict) -> dict:
         """Replace a 'store_idx' host batch field with device-gathered

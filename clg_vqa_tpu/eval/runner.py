@@ -45,7 +45,7 @@ def _predict_body(forward, cfg, compute_dtype, fused_attn):
             f, l, m = DeviceFeatureBank.gather_from(
                 bank, batch.pop("store_idx"))
             batch = {**batch, "features": f, "locs": l, "image_mask": m}
-        kw = {"fused_attn": True} if fused_attn else {}
+        kw = {"fused_attn": fused_attn} if fused_attn else {}
         logits = forward(params, cfg, batch, deterministic=True,
                          compute_dtype=compute_dtype, **kw)
         return jnp.argmax(logits, axis=-1)
@@ -106,9 +106,15 @@ def run_eval(forward: Callable, params, cfg, dataset, label2ans: list, *,
     if step is None:
         if fused_attn is None:
             # bf16 only: an explicit f32/f16 compute_dtype must take the
-            # XLA parity path, not the Pallas kernel's numeric family
-            fused_attn = (compute_dtype == jnp.bfloat16 and batch_size >= 512
-                          and jax.default_backend() == "tpu")
+            # XLA parity path, not the Pallas kernel's numeric family.
+            # "flat" = the flat-boundary kernel (heads looped in-kernel,
+            # no split/merge transposes): same-day eval A/B at bs1024 —
+            # M3P 3418 vs 2527 (blocked) vs 1951 (XLA) QA/s, UC2 5258 vs
+            # 4365 vs 4254 (docs/PERFORMANCE.md round 4 eval table)
+            fused_attn = ("flat" if (compute_dtype == jnp.bfloat16
+                                     and batch_size >= 512
+                                     and jax.default_backend() == "tpu")
+                          else False)
         step = make_predict_step(forward, cfg, device_bank=device_bank,
                                  compute_dtype=compute_dtype,
                                  fused_attn=fused_attn)

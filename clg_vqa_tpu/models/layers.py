@@ -151,13 +151,16 @@ def multi_head_attention(
     scale_query=True: q / sqrt(d) before QK^T (M3P, m3p_transformer.py:196).
     The two differ only in fp rounding; both are kept for bit-parity tests.
 
-    fused: route the score/softmax/PV core through the Pallas VMEM kernel
-    (ops/attention.py) — scores never touch HBM. Inference-only (requires
-    self-attention, no attention dropout, key-side bias [B, 1, 1, S]); the
-    kernel post-scales QK^T in fp32 regardless of scale_query (same numeric
-    family, bf16-argmax-identical — see docs/PERFORMANCE.md eval profile).
-    Wins at large B*S^2 (M3P eval bs1024: 15 vs 25 ms/call); the XLA path
-    stays default for training and small batches.
+    fused: route the score/softmax/PV core through a Pallas VMEM kernel
+    (ops/attention.py) — scores never touch HBM. True = head-blocked
+    kernels (train: custom-VJP w/ in-kernel dropout; eval: forward-only);
+    "flat" = flat-boundary kernels (heads looped in-kernel, no split/merge
+    transposes — the bf16 TPU default for train AND bs>=512 eval, see the
+    same-day A/Bs in docs/PERFORMANCE.md round 4); "hm" = head-major feed
+    (tested opt-in, rejected as default). Requires self-attention and
+    key-side bias [B, 1, 1, S]; the kernels post-scale QK^T in fp32
+    regardless of scale_query (same numeric family, bf16-argmax-identical).
+    The XLA path stays default for fp32 parity mode and small batches.
     """
     B, Sq, D = x_q.shape
     Skv = x_kv.shape[1]
@@ -214,9 +217,16 @@ def multi_head_attention(
                                              rng=rng)
             return linear(ctx, p["o"], compute_dtype)
         if deterministic:
-            # forward-only eval kernel (no VJP)
-            from ..ops.attention import fused_attention
-            ctx = fused_attention(q, k, v, bias4, num_heads)
+            if fused == "flat":
+                # flat-boundary eval kernel: heads looped inside the kernel
+                # over lane slices — no head split/merge transposes around
+                # the kernel (the eval twin of the train default).
+                from ..ops.attention import fused_attention_flat
+                ctx = fused_attention_flat(q, k, v, bias4, num_heads)
+            else:
+                # blocked forward-only eval kernel (no VJP)
+                from ..ops.attention import fused_attention
+                ctx = fused_attention(q, k, v, bias4, num_heads)
         else:
             # custom-VJP training kernel with in-kernel dropout: probs and
             # mask are recomputed in VMEM on the backward, never stored.

@@ -8,15 +8,22 @@ per (batch, head) tile, so scores never touch HBM.
 
 Two entry points:
 
-``fused_attention`` — forward-only (serving/eval path). Numerics match
-layers.multi_head_attention with scale applied post-QK^T and fp32 softmax.
-Measured on v5e: at bs 256 / S=76 the kernel loses (4.2 vs 1.5 ms — XLA's
-batched-matmul fusion wins when the score tensor is small), but at eval
-scale (bs 1024 / S=140, where the fp32 probs are 963 MB/block) it WINS
-15 vs 25 ms/call — M3P full-scale eval 2028 -> 2707 QA/s. It is the
-default for bf16 eval at bs>=512 on TPU (eval/runner.run_eval auto mode,
-threaded via forward(fused_attn=True)); the XLA path remains default for
-fp32 parity mode and serving-size batches.
+``fused_attention`` — forward-only (serving/eval path), head-blocked grid.
+Numerics match layers.multi_head_attention with scale applied post-QK^T
+and fp32 softmax. Measured on v5e: at bs 256 / S=76 the kernel loses
+(4.2 vs 1.5 ms — XLA's batched-matmul fusion wins when the score tensor
+is small), but at eval scale (bs 1024 / S=140, where the fp32 probs are
+963 MB/block) it WINS 15 vs 25 ms/call — M3P full-scale eval
+2028 -> 2707 QA/s (the round-3 bf16 bs>=512 default).
+
+``fused_attention_flat`` — forward-only flat-boundary variant and the
+round-4 bf16 bs>=512 eval DEFAULT for BOTH models (eval/runner.run_eval
+auto mode -> forward(fused_attn="flat")): q/k/v keep the projections'
+[B, S, H*hd] layout, heads looped in-kernel. Same-day serialized A/B at
+bs 1024 (full predict step): M3P 3418 vs 2527 (blocked) vs 1951 (XLA)
+QA/s; UC2 5258 vs 4365 vs 4254 — the blocked kernel was only a wash at
+S=76, the flat one wins on both. The XLA path remains default for fp32
+parity mode and serving-size batches.
 
 ``fused_attention_train`` — custom-VJP training variant with IN-KERNEL
 dropout (pltpu.prng bits, the same u8-threshold semantics as
@@ -477,6 +484,44 @@ _attn_train_core_flat.defvjp(
     lambda q, k, v, b2, seed, keep_t, num_heads:
         _attn_train_flat_fwd(q, k, v, b2, seed, keep_t, num_heads),
     _attn_train_flat_bwd)
+
+
+def _bt_flat_fwd(B: int, S: int, HD: int) -> int:
+    """Forward-only batch tile: 4 resident q/k/v/o blocks (double-buffered)
+    plus one head's fp32 scores/probs scratch — roomier than the
+    backward-constrained _bt_flat, so eval can run larger tiles."""
+    budget = 10 * 1024 * 1024
+    per_sample = 4 * S * HD * 2 * 2 + 2 * S * S * 4
+    bt = max(1, min(16, budget // max(per_sample, 1), B))
+    while B % bt:
+        bt -= 1
+    return bt
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def fused_attention_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         bias: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Forward-only flat-boundary eval kernel: the eval counterpart of
+    fused_attention_train_flat. q/k/v stay [B, S, H*hd] (the projections'
+    natural layout) and heads are looped inside the kernel over static
+    lane slices, so the [B,S,D]<->[B,H,S,hd] split/merge transposes the
+    blocked eval kernel (fused_attention) pays outside its grid never
+    exist. bias: [B, 1, 1, S] additive key-side; returns [B, S, H*hd].
+    Numerics: fp32 softmax in VMEM, same family as the blocked kernel."""
+    B, S, HD = q.shape
+    b2 = bias[:, 0, 0, :][:, None, :]                 # [B, 1, S]
+    bt = _bt_flat_fwd(B, S, HD)
+    qkv, bspec, seedspec = _flat_specs(S, HD, bt)
+    seed = jnp.zeros((1, 1), jnp.int32)               # unused at keep_t=256
+    return pl.pallas_call(
+        functools.partial(_flat_fwd_kernel,
+                          scale=1.0 / math.sqrt(HD // num_heads),
+                          keep_t=256, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+        grid=(B // bt,),
+        in_specs=[seedspec, qkv, qkv, qkv, bspec],
+        out_specs=qkv,
+    )(seed, q, k, v, b2)
 
 
 def fused_attention_train_flat(q: jnp.ndarray, k: jnp.ndarray,

@@ -117,8 +117,9 @@ class FinetuneRunner:
                 signal.signal(sig, self._on_preempt)
             except ValueError:
                 pass        # non-main thread (e.g. under test runners)
-        fused = (compute_dtype == jnp.bfloat16 and self.eval_bs >= 512
-                 and jax.default_backend() == "tpu")
+        fused = ("flat" if (compute_dtype == jnp.bfloat16
+                            and self.eval_bs >= 512
+                            and jax.default_backend() == "tpu") else False)
         self.eval_step = jax.jit(make_eval_step(
             model_forward, cfg, compute_dtype=compute_dtype,
             fused_attn=fused))

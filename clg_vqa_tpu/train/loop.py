@@ -110,6 +110,7 @@ def make_loss_fn(model_forward: Callable, cfg, distance_matrix, *,
                  semantic_lambda: float, top_k: int = 10,
                  compute_dtype=jnp.bfloat16, remat: bool = False,
                  unroll: bool = True, fused_attn: bool = False,
+                 pallas_gather: bool = False,
                  criterion: str = "CrossEntropyLoss") -> Callable:
     def loss_fn(params, mb, rng, bank=None):
         # Device-resident feature bank: batches carry int32 'store_idx' and
@@ -119,7 +120,8 @@ def make_loss_fn(model_forward: Callable, cfg, distance_matrix, *,
         # (eval/runner.py, eval/predictor.py).
         if bank is not None and "store_idx" in mb:
             from ..data.device_bank import DeviceFeatureBank
-            f, l, m = DeviceFeatureBank.gather_from(bank, mb["store_idx"])
+            f, l, m = DeviceFeatureBank.gather_from(bank, mb["store_idx"],
+                                                    pallas=pallas_gather)
             mb = {**{k: v for k, v in mb.items() if k != "store_idx"},
                   "features": f, "locs": l, "image_mask": m}
         # unroll=True: static-block encoder for the grad path (removes the
@@ -149,6 +151,7 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
                     unroll: bool = True,
                     unroll_accum: bool = False,
                     fused_attn=False,
+                    pallas_gather: bool = False,
                     criterion: str = "CrossEntropyLoss") -> Callable:
     """Returns train_step(state, batch, rng, bank=None, grad_mask_rt=None)
     -> (state, metrics).
@@ -183,6 +186,7 @@ def make_train_step(model_forward: Callable, cfg, optimizer, distance_matrix,
                            semantic_lambda=semantic_lambda, top_k=top_k,
                            compute_dtype=compute_dtype, remat=remat,
                            unroll=unroll, fused_attn=fused_attn,
+                           pallas_gather=pallas_gather,
                            criterion=criterion)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -299,7 +303,7 @@ def make_eval_step(model_forward: Callable, cfg, *,
             f, l, m = DeviceFeatureBank.gather_from(
                 bank, batch.pop("store_idx"))
             batch = {**batch, "features": f, "locs": l, "image_mask": m}
-        kw = {"fused_attn": True} if fused_attn else {}
+        kw = {"fused_attn": fused_attn} if fused_attn else {}
         logits = model_forward(params, cfg, batch, deterministic=True,
                                compute_dtype=compute_dtype, **kw)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)

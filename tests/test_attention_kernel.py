@@ -20,10 +20,13 @@ def xla_attention(q, k, v, bias, num_heads):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(B, S, HD)
 
 
+@pytest.mark.parametrize("entry", ["blocked", "flat"])
 @pytest.mark.parametrize("S", [76, 140, 64])
-def test_fused_attention_matches_xla(S):
+def test_fused_attention_matches_xla(S, entry):
     from jax.experimental.pallas import tpu as pltpu
-    from clg_vqa_tpu.ops.attention import fused_attention
+    from clg_vqa_tpu.ops import attention as A
+    kernel = (A.fused_attention if entry == "blocked"
+              else A.fused_attention_flat)
     r = np.random.RandomState(0)
     B, H, D = 3, 4, 32
     q = jnp.asarray(r.randn(B, S, H * D), jnp.float32)
@@ -34,12 +37,13 @@ def test_fused_attention_matches_xla(S):
     bias = jnp.asarray(((1 - mask) * -10000.0)[:, None, None, :])
     ref = np.asarray(xla_attention(q, k, v, bias, H))
     with pltpu.force_tpu_interpret_mode():
-        ours = np.asarray(fused_attention(q, k, v, bias, H))
+        ours = np.asarray(kernel(q, k, v, bias, H))
     np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
 
 
 @pytest.mark.parametrize("model", ["uc2", "m3p"])
-def test_forward_fused_attn_matches(model):
+@pytest.mark.parametrize("variant", [True, "flat"])
+def test_forward_fused_attn_matches(model, variant):
     """forward(fused_attn=True) — the Pallas eval attention path — must
     match the XLA formulation through the whole model (logits close in
     fp32; the paths differ only in scale placement fp rounding)."""
@@ -73,7 +77,8 @@ def test_forward_fused_attn_matches(model):
     ref = np.asarray(mod.forward(params, cfg, batch, deterministic=True))
     with pltpu.force_tpu_interpret_mode():
         ours = np.asarray(mod.forward(params, cfg, batch,
-                                      deterministic=True, fused_attn=True))
+                                      deterministic=True,
+                                      fused_attn=variant))
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(ours.argmax(-1), ref.argmax(-1))
 

@@ -183,6 +183,37 @@ def test_eval_with_device_bank_matches(eval_world):
     assert p1 == p2
 
 
+def test_bank_gather_pallas_matches_xla(eval_world):
+    """gather_from(pallas=True) — the scalar-prefetch DMA kernel — must
+    return exactly the XLA gather's tensors (and work under jax.grad as a
+    constant-path op, the way the train step uses it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.data.device_bank import DeviceFeatureBank
+    tmp, cfg, params, ds, entries, label2ans = eval_world
+    bank = DeviceFeatureBank(ds.store, max_regions=ds.max_region_num,
+                             num_locs=ds.num_locs)
+    idx = jnp.asarray([2, 0, 1, 2], jnp.int32)
+    ref = DeviceFeatureBank.gather_from(bank.tensors(), idx)
+    with pltpu.force_tpu_interpret_mode():
+        got = DeviceFeatureBank.gather_from(bank.tensors(), idx, pallas=True)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # grad w.r.t. a dummy weight THROUGH the gathered features: the
+        # kernel sits on the non-differentiated constant path (bank and
+        # idx carry no tangents), exactly like the train step
+        def loss(w):
+            f, l, m = DeviceFeatureBank.gather_from(bank.tensors(), idx,
+                                                    pallas=True)
+            return jnp.sum((f.astype(jnp.float32) * w) ** 2)
+
+        g = jax.grad(loss)(1.5)
+    assert np.isfinite(float(g))
+
+
 def test_predictor_serving_api(eval_world):
     from clg_vqa_tpu.data.tokenizer import HashTokenizer
     from clg_vqa_tpu.eval.predictor import Predictor

@@ -88,8 +88,8 @@ def main():
     # the default bf16 compute dtype) + bs>=512 + tpu; --no_fused forces
     # the XLA path — the step is built ONCE and reused across both calls
     import jax.numpy as jnp
-    fused = (not args.no_fused and args.bs >= 512
-             and jax.default_backend() == "tpu")
+    fused = ("flat" if (not args.no_fused and args.bs >= 512
+                        and jax.default_backend() == "tpu") else False)
     step = make_predict_step(mod.forward, cfg, device_bank=bank,
                              compute_dtype=jnp.bfloat16, fused_attn=fused)
     # warmup (compile)

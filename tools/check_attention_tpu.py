@@ -50,10 +50,34 @@ def main():
     ap.add_argument("--flat", action="store_true",
                     help="check the flat-boundary kernel (the bf16 TPU "
                          "train default) instead of the head-blocked one")
+    ap.add_argument("--eval-fwd", action="store_true",
+                    help="check the two forward-only EVAL kernels "
+                         "(blocked fused_attention + flat "
+                         "fused_attention_flat) against XLA on chip, then "
+                         "exit")
     args = ap.parse_args()
     assert jax.default_backend() == "tpu", \
         f"needs the real TPU (got {jax.default_backend()})"
     from clg_vqa_tpu.ops import attention as A
+
+    if args.eval_fwd:
+        r = np.random.RandomState(0)
+        for S, tag in ((140, "m3p"), (76, "uc2")):
+            B, H, D = 64, 12, 64
+            q = jnp.asarray(r.randn(B, S, H * D), jnp.float32)
+            k = jnp.asarray(r.randn(B, S, H * D), jnp.float32)
+            v = jnp.asarray(r.randn(B, S, H * D), jnp.float32)
+            mask = np.ones((B, S), np.float32)
+            mask[1, -9:] = 0
+            bias = jnp.asarray(((1 - mask) * -10000.0)[:, None, None, :])
+            ref = np.asarray(xla_attention(q, k, v, bias, H))
+            for name, kern in (("blocked", A.fused_attention),
+                               ("flat", A.fused_attention_flat)):
+                got = np.asarray(kern(q, k, v, bias, H))
+                np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+                print(f"PASS eval fwd parity on chip: {name} (S={S}, {tag})")
+        print("ALL PASS")
+        return
     fused_attention_train = (A.fused_attention_train_flat if args.flat
                              else A.fused_attention_train)
     print(f"kernel under test: "

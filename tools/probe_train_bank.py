@@ -97,6 +97,17 @@ def main():
     base = jax.jit(step_fn, donate_argnums=(0,))
     measure(base, state, bank, "default bank layout")
 
+    # --- Pallas scalar-prefetch DMA gather ------------------------------
+    # (ops/bank_gather.rows_gather: per-row HBM->HBM DMA, output layout
+    # fixed row-major — XLA's layout choice for device-produced features
+    # can't leak into the encoder)
+    step_pg = tl.make_train_step(
+        mod.forward, cfg, opt, D, semantic_lambda=10.0, top_k=10,
+        compute_dtype=jnp.bfloat16, unroll_accum=args.uc2, fused_attn=fused,
+        pallas_gather=True)
+    measure(jax.jit(step_pg, donate_argnums=(0,)), state, bank,
+            "pallas DMA gather")
+
     # --- AUTO: let XLA choose the bank input layout ---------------------
     def sds(x):
         return jax.ShapeDtypeStruct(x.shape, x.dtype)

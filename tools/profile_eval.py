@@ -30,6 +30,14 @@ def main():
     ap.add_argument("--bs", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--n-images", type=int, default=400)
+    ap.add_argument("--pallas-gather", action="store_true",
+                    help="route the bank feature gather through the Pallas "
+                         "scalar-prefetch DMA kernel (ops/bank_gather)")
+    ap.add_argument("--attn", default="auto",
+                    choices=["auto", "off", "blocked", "flat"],
+                    help="eval attention path: auto = the production gate "
+                         "(blocked Pallas at bs>=512 on TPU), off = XLA, "
+                         "blocked/flat = force that Pallas kernel")
     ap.add_argument("--out", default="/tmp/xprof_eval")
     args = ap.parse_args()
 
@@ -60,20 +68,33 @@ def main():
     # mirror the production auto gate (eval/runner.py): the fused Pallas
     # attention path is what the real eval loop runs at bs>=512 on TPU —
     # profiling the XLA path there would show ops production doesn't run
-    fused = args.bs >= 512 and jax.default_backend() == "tpu"
+    if args.attn == "auto":
+        fused = ("flat" if args.bs >= 512
+                 and jax.default_backend() == "tpu" else False)
+    elif args.attn == "off":
+        fused = False
+    elif args.attn == "blocked":
+        fused = True
+    else:
+        fused = "flat"
+    print(f"attention path: {args.attn} -> fused_attn={fused!r}",
+          file=sys.stderr)
+
+    pg = args.pallas_gather
 
     @jax.jit
     def step(params, batch, bank):
-        f, l, m = DeviceFeatureBank.gather_from(bank, batch.pop("store_idx"))
+        f, l, m = DeviceFeatureBank.gather_from(bank, batch.pop("store_idx"),
+                                                pallas=pg)
         batch = {**batch, "features": f, "locs": l, "image_mask": m}
-        kw = {"fused_attn": True} if fused else {}
+        kw = {"fused_attn": fused} if fused else {}
         logits = mod.forward(params, cfg, batch, deterministic=True,
                              compute_dtype=jnp.bfloat16, **kw)
         return jnp.argmax(logits, axis=-1)
 
     @jax.jit
     def gather_only(bank, idx):
-        f, l, m = DeviceFeatureBank.gather_from(bank, idx)
+        f, l, m = DeviceFeatureBank.gather_from(bank, idx, pallas=pg)
         # consume so nothing is dead-code-eliminated; sum forces the reads
         return f.sum() + l.sum() + m.sum()
 
