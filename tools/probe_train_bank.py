@@ -46,19 +46,27 @@ def main():
     if args.uc2:
         from clg_vqa_tpu.config import UC2Config
         from clg_vqa_tpu.models import uc2 as mod
-        cfg, T, R, nl, fused = UC2Config(), 40, 36, 7, False
+        cfg, T, R, nl, fused = UC2Config(), 40, 36, 7, "flat"
     else:
         from clg_vqa_tpu.config import M3PConfig
         from clg_vqa_tpu.models import m3p as mod
-        cfg, T, R, nl, fused = M3PConfig(), 40, 100, 5, True
+        cfg, T, R, nl, fused = M3PConfig(), 40, 100, 5, "flat"
 
     params = mod.init_params(jax.random.key(0), cfg)
     D = jnp.asarray(r.rand(cfg.num_labels, cfg.num_labels).astype(np.float32))
     opt = make_optimizer(unstack_layer_params(params, cfg.num_layers),
                          warmup_linear_schedule(4e-5, 100, 10000))
-    state = tl.perlayer_state(
-        tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32)),
-        cfg.num_layers)
+
+    def mk_state():
+        # fresh device state per measured arm: every arm's jit donates the
+        # state buffers (donate_argnums=0, the production train loop's
+        # behavior), so a state cannot be reused across arms
+        p = mod.init_params(jax.random.key(0), cfg)
+        return tl.perlayer_state(
+            tl.TrainState(p, opt.init(p), jnp.zeros((), jnp.int32)),
+            cfg.num_layers)
+
+    state = mk_state()
     step_fn = tl.make_train_step(
         mod.forward, cfg, opt, D, semantic_lambda=10.0, top_k=10,
         compute_dtype=jnp.bfloat16, unroll_accum=args.uc2, fused_attn=fused)
@@ -105,7 +113,7 @@ def main():
         mod.forward, cfg, opt, D, semantic_lambda=10.0, top_k=10,
         compute_dtype=jnp.bfloat16, unroll_accum=args.uc2, fused_attn=fused,
         pallas_gather=True)
-    measure(jax.jit(step_pg, donate_argnums=(0,)), state, bank,
+    measure(jax.jit(step_pg, donate_argnums=(0,)), mk_state(), bank,
             "pallas DMA gather")
 
     # --- AUTO: let XLA choose the bank input layout ---------------------
@@ -131,7 +139,7 @@ def main():
         in_shardings=(jax.tree.map(lambda _: None, state),
                       {k: None for k in batch}, None, tuple(fmts)),
         donate_argnums=(0,))
-    measure(conc_j, state, bank_auto, "AUTO bank layout")
+    measure(conc_j, mk_state(), bank_auto, "AUTO bank layout")
 
 
 if __name__ == "__main__":
