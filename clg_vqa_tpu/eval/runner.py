@@ -66,7 +66,21 @@ def shard_predict_step(forward: Callable, cfg, mesh, params_example,
 
     batch_example: a pytree with the final per-call batch structure (used
     only for sharding layout; ``store_idx`` batches work with device_bank
-    the same as the single-chip step)."""
+    the same as the single-chip step).
+
+    fused_attn must stay False here: the Pallas attention kernels are
+    single-device programs with no GSPMD partitioning rule, so under a
+    sharded jit the SPMD partitioner would fail on (or replicate) the
+    custom call. Multi-chip eval keeps the XLA attention path; the
+    kernels' wins are measured single-chip (docs/PERFORMANCE.md). A
+    custom_partitioning batch-dim rule is the known lever when real
+    multi-chip hardware is available to validate it."""
+    if fused_attn:
+        raise ValueError(
+            "shard_predict_step does not support the Pallas attention "
+            "kernels (fused_attn must be False): pallas_call has no GSPMD "
+            "partitioning rule, so a sharded jit cannot split the custom "
+            "call across the mesh. Use the XLA path for multi-chip eval.")
     from ..parallel import mesh as pm
     step = _predict_body(forward, cfg, compute_dtype, fused_attn)
 

@@ -336,7 +336,14 @@ def shard_train_step(train_step: Callable, mesh, state: TrainState,
     XLA inserts the dp gradient all-reduce and mp collectives automatically.
 
     with_bank: the step additionally takes DeviceFeatureBank.tensors() as a
-    4th argument (replicated — every dp shard gathers its own rows)."""
+    4th argument (replicated — every dp shard gathers its own rows).
+
+    The wrapped step must have been built with ``fused_attn=False`` (and
+    ``pallas_gather=False``): the Pallas kernels are single-device programs
+    with no GSPMD partitioning rule, so the SPMD partitioner cannot split
+    the custom calls over the mesh — multi-chip training rides the XLA
+    attention path (the kernels' wins are single-chip measurements;
+    see eval/runner.shard_predict_step for the same constraint)."""
     from ..parallel import mesh as pm
 
     # params get the (dp-replicated, mp-sharded) layout; optimizer mu/nu

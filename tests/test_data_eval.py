@@ -250,6 +250,12 @@ def test_shard_predict_step_matches_single(eval_world):
     p2 = np.asarray(sharded(params, batch))
     np.testing.assert_array_equal(p1, p2)
 
+    # the Pallas kernels have no GSPMD partitioning rule: requesting them
+    # under a sharded jit must fail loudly, not at an opaque SPMD error
+    with pytest.raises(ValueError, match="Pallas"):
+        runner.shard_predict_step(uc2.forward, cfg, mesh, params, batch,
+                                  compute_dtype=None, fused_attn="flat")
+
 
 RESULTS = "/root/reference/results/xgqa/zero_shot"
 
