@@ -202,6 +202,23 @@ def multi_head_attention(
             y = jnp.einsum("bhse,hed->bsd", ctx, wo,
                            preferred_element_type=jnp.float32) + p["o"]["b"]
             return y if compute_dtype is None else y.astype(compute_dtype)
+        if fused == "proj" and not deterministic:
+            # Projected-boundary training kernel: the whole block (q/k/v
+            # projections + attention core + output projection) runs inside
+            # Pallas, so the only activation tensors at the custom-call
+            # boundary are x and y (fwd) / g and dx (bwd) — the per-layer
+            # layout-assignment copies XLA inserts around the flat kernel's
+            # q/k/v operands never exist. See
+            # ops/attention.fused_attention_block.
+            def c(a):
+                return a if compute_dtype is None else a.astype(compute_dtype)
+
+            from ..ops.attention import fused_attention_block
+            return fused_attention_block(
+                c(x_q), c(p["q"]["w"]), p["q"]["b"], c(p["k"]["w"]),
+                p["k"]["b"], c(p["v"]["w"]), p["v"]["b"], c(p["o"]["w"]),
+                p["o"]["b"], bias4, num_heads,
+                dropout_rate=dropout_rate, rng=rng)
         q = linear(x_q, p["q"], compute_dtype)
         k = linear(x_kv, p["k"], compute_dtype)
         v = linear(x_kv, p["v"], compute_dtype)
@@ -217,7 +234,7 @@ def multi_head_attention(
                                              rng=rng)
             return linear(ctx, p["o"], compute_dtype)
         if deterministic:
-            if fused == "flat":
+            if fused in ("flat", "proj"):
                 # flat-boundary eval kernel: heads looped inside the kernel
                 # over lane slices — no head split/merge transposes around
                 # the kernel (the eval twin of the train default).

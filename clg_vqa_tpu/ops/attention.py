@@ -541,6 +541,345 @@ def fused_attention_train_flat(q: jnp.ndarray, k: jnp.ndarray,
     return _attn_train_core_flat(q, k, v, b2, seed, t, num_heads)
 
 
+# ---------------------------------------------------------------------------
+# Projected-boundary training kernel ("proj"): the WHOLE attention block —
+# q/k/v projections, the flat attention core with in-kernel dropout, and the
+# output projection — runs inside Pallas. Motivation (docs/PERFORMANCE.md
+# round 4 cont.): with the flat kernel, XProf still shows 12 per-layer
+# ~2.0 ms layout-assignment copies + ~1.6 ms fusions at the Pallas
+# custom-call boundary (Mosaic operands must be row-major; XLA prefers
+# S-on-lane layouts for the surrounding projection GEMMs). Moving the
+# projections inside the kernel deletes those interfaces: the only
+# activation tensors that cross the XLA<->kernel boundary are x (in) and
+# y (out) on the forward, and g (in) / dx (out) on the backward — all of
+# which neighbor layout-agnostic elementwise fusions (LN, residual adds).
+#
+# Structure:
+#   fwd    : x, Wq,bq, Wk,bk, Wv,bv, Wo,bo, bias, seed -> y, q, k, v
+#            (q/k/v are written out as residuals — the same HBM traffic the
+#            unfused path pays for its projection outputs, no extra FLOPs)
+#   bwd-A  : g, q, k, v, Wo, bias, seed -> dq, dk, dv, dWo, dbo, dbias
+#            (replays the identical per-(grid-cell, head) PRNG stream as the
+#            forward — the two calls share one _bt_proj tiling — and
+#            recomputes probs + per-head ctx in VMEM)
+#   bwd-B  : three _linear_bwd calls (x, d?, W?) -> dx?, dW?, db? — the
+#            projection backward GEMMs with dW accumulated in an fp32
+#            output block resident across the batch grid; dx = dxq+dxk+dxv.
+#
+# Weight grads are accumulated in fp32 across grid steps and rounded to the
+# operand dtype once at the custom-vjp boundary — the same single bf16
+# rounding the XLA path's dot-VJP applies.
+# ---------------------------------------------------------------------------
+
+def _keep_mask_sh(seed_ref, sample: int, h: int, S: int, keep_t: int):
+    """Per-(absolute sample, head) dropout keep mask. Seeding by sample
+    index — not grid cell — makes the realized mask INDEPENDENT of the
+    batch tiling, so the forward and backward kernels may run different
+    tiles (the backward's VMEM budget is tighter) and still replay the
+    identical stream. num_heads <= 16 on every CLG-VQA config."""
+    pltpu.prng_seed(seed_ref[0, 0] + sample * 16 + h)
+    bits = pltpu.prng_random_bits((S, S))
+    return (bits & jnp.uint32(255)) < jnp.uint32(keep_t)
+
+
+def _proj_fwd_kernel(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                     wv_ref, bv_ref, wo_ref, bo_ref, bias_ref,
+                     y_ref, q_ref, k_ref, v_ref, ctx_ref,
+                     *, scale: float, keep_t: int, num_heads: int):
+    # blocks: x/y/q/k/v [BT, S, HD]; w* [HD, HD]; b* [1, HD]; bias [BT, 1, S]
+    x = x_ref[:]
+    dn = (((2,), (0,)), ((), ()))           # [BT,S,D] @ [D,D] -> [BT,S,D]
+    q = (jax.lax.dot_general(x, wq_ref[:], dn,
+                             preferred_element_type=jnp.float32)
+         + bq_ref[0]).astype(x.dtype)
+    k = (jax.lax.dot_general(x, wk_ref[:], dn,
+                             preferred_element_type=jnp.float32)
+         + bk_ref[0]).astype(x.dtype)
+    v = (jax.lax.dot_general(x, wv_ref[:], dn,
+                             preferred_element_type=jnp.float32)
+         + bv_ref[0]).astype(x.dtype)
+    q_ref[:], k_ref[:], v_ref[:] = q, k, v
+    bt = x.shape[0]
+    S = x.shape[1]
+    base = pl.program_id(0) * bt
+    hd = q.shape[-1] // num_heads
+    b = bias_ref[:]
+    for h in range(num_heads):
+        lo = h * hd
+        qh = q[:, :, lo:lo + hd].astype(jnp.float32)
+        kh = k[:, :, lo:lo + hd].astype(jnp.float32)
+        vh = v[:, :, lo:lo + hd].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        scores = scores + b
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if keep_t < 256:
+            keep = jnp.stack([_keep_mask_sh(seed_ref, base + i, h, S, keep_t)
+                              for i in range(bt)])
+            p = jnp.where(keep, p * (256.0 / keep_t), 0.0)
+        out = jax.lax.dot_general(
+            p, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ctx_ref[:, :, lo:lo + hd] = out.astype(ctx_ref.dtype)
+    y = (jax.lax.dot_general(ctx_ref[:], wo_ref[:], dn,
+                             preferred_element_type=jnp.float32)
+         + bo_ref[0]).astype(x.dtype)
+    y_ref[:] = y
+
+
+def _proj_bwda_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref, wo_ref,
+                      dq_ref, dk_ref, dv_ref, dwo_ref, dbo_ref, db_ref,
+                      ctx_ref,
+                      *, scale: float, keep_t: int, num_heads: int):
+    bt = q_ref.shape[0]
+    S = q_ref.shape[1]
+    base = pl.program_id(0) * bt
+    hd = q_ref.shape[-1] // num_heads
+    g = g_ref[:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+
+    dbo_ref[:] += jnp.sum(g.astype(jnp.float32), axis=(0, 1))[None, :]
+    # dctx = g @ Wo^T (fp32) — the per-head "do" of the flat kernel's bwd
+    dctx = jax.lax.dot_general(
+        g, wo_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    b = bias_ref[:]
+    db_acc = jnp.zeros(db_ref.shape, jnp.float32)
+    for h in range(num_heads):
+        lo = h * hd
+        qh = q_ref[:, :, lo:lo + hd].astype(jnp.float32)
+        kh = k_ref[:, :, lo:lo + hd].astype(jnp.float32)
+        vh = v_ref[:, :, lo:lo + hd].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        scores = scores + b
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if keep_t < 256:
+            # identical per-(sample, head) streams as the forward ->
+            # identical masks, regardless of either pass's batch tiling
+            keep = jnp.stack([_keep_mask_sh(seed_ref, base + i, h, S, keep_t)
+                              for i in range(bt)])
+            r = 256.0 / keep_t
+            pd = jnp.where(keep, p * r, 0.0)
+        else:
+            pd = p
+        # recompute the forward's (post-dropout) per-head context for dWo
+        ctx_h = jax.lax.dot_general(
+            pd, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ctx_ref[:, :, lo:lo + hd] = ctx_h.astype(ctx_ref.dtype)
+        do = dctx[:, :, lo:lo + hd]
+        dv = jax.lax.dot_general(
+            pd, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dpd = jax.lax.dot_general(
+            do, vh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dp = jnp.where(keep, dpd * r, 0.0) if keep_t < 256 else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(
+            ds, kh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, qh, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[:, :, lo:lo + hd] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, lo:lo + hd] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, lo:lo + hd] = dv.astype(dv_ref.dtype)
+        db_acc = db_acc + jnp.sum(ds, axis=1)[:, None, :]
+    db_ref[:] = db_acc
+    # dWo = sum_i ctx_i^T @ g_i — one K=S GEMM per sample (static loop; a
+    # merged [BT*S, D] reshape is not a safe Mosaic lowering at S % 8 != 0)
+    for i in range(bt):
+        dwo_ref[:] += jax.lax.dot_general(
+            ctx_ref[i], g[i], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _linear_bwd_kernel(x_ref, dy_ref, w_ref, dx_ref, dw_ref, dbv_ref):
+    """Backward of y = x @ w + b over a batch grid: dx (per tile), dw/db
+    (fp32, accumulated across grid steps in resident output blocks)."""
+    bt = x_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dbv_ref[:] = jnp.zeros_like(dbv_ref)
+
+    dy = dy_ref[:]
+    dbv_ref[:] += jnp.sum(dy.astype(jnp.float32), axis=(0, 1))[None, :]
+    dx = jax.lax.dot_general(
+        dy, w_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+    for i in range(bt):
+        dw_ref[:] += jax.lax.dot_general(
+            x_ref[i], dy[i], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _bt_proj_fwd(B: int, S: int, HD: int, es: int) -> int:
+    """Forward batch tile. The per-(sample, head) PRNG seeding
+    (_keep_mask_sh) makes the dropout mask tiling-independent, so the
+    forward and backward choose tiles separately. ``es`` is the operand
+    itemsize (2 on the bf16 production path, 4 when the parity checker
+    runs fp32 on chip)."""
+    budget = 11 * 1024 * 1024
+    fixed = 4 * HD * HD * es                 # 4 resident weights
+    per = 11 * S * HD * es + 20 * S * S      # x in + 4 outs (2-buf) + temps
+    bt = max(1, min(8, (budget - fixed) // max(per, 1), B))
+    while B % bt:
+        bt -= 1
+    return bt
+
+
+def _bt_proj_bwd(B: int, S: int, HD: int, es: int) -> int:
+    """Backward-A batch tile — the tight one: XLA's scoped-vmem accounting
+    charges the kernel AND concurrently-live fusions against the 16 MB
+    budget inside the full train step (measured: bt=2 at S=140 compiled
+    standalone but OOM'd by 2.28M in the step), so this stays well under
+    half the physical VMEM."""
+    budget = 9 * 1024 * 1024
+    fixed = (es + 4) * HD * HD               # Wo + fp32 dWo resident
+    per = 15 * S * HD * es + 4 * S * HD + 24 * S * S
+    bt = max(1, min(8, (budget - fixed) // max(per, 1), B))
+    while B % bt:
+        bt -= 1
+    return bt
+
+
+def _bt_linb(B: int, S: int, HD: int, es: int) -> int:
+    budget = 10 * 1024 * 1024
+    fixed = (es + 4) * HD * HD               # W + fp32 dW resident
+    per = 6 * S * HD * es + 4 * S * HD
+    bt = max(1, min(8, (budget - fixed) // max(per, 1), B))
+    while B % bt:
+        bt -= 1
+    return bt
+
+
+def _wspec(HD):
+    return pl.BlockSpec((HD, HD), lambda b: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _bvspec(HD):
+    return pl.BlockSpec((1, HD), lambda b: (0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _attn_block_core(x, wq, bq, wk, bk, wv, bv, wo, bo, b2, seed,
+                     keep_t, num_heads):
+    y, _ = _attn_block_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, b2, seed,
+                           keep_t, num_heads)
+    return y
+
+
+def _attn_block_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, b2, seed,
+                    keep_t, num_heads):
+    B, S, HD = x.shape
+    bt = _bt_proj_fwd(B, S, HD, x.dtype.itemsize)
+    qkv, bias, seedspec = _flat_specs(S, HD, bt)
+    wspec, bvspec = _wspec(HD), _bvspec(HD)
+    bvecs = [a.reshape(1, HD).astype(jnp.float32) for a in (bq, bk, bv, bo)]
+    y, q, k, v = pl.pallas_call(
+        functools.partial(_proj_fwd_kernel,
+                          scale=1.0 / math.sqrt(HD // num_heads),
+                          keep_t=keep_t, num_heads=num_heads),
+        out_shape=[jax.ShapeDtypeStruct((B, S, HD), x.dtype)] * 4,
+        grid=(B // bt,),
+        in_specs=[seedspec, qkv, wspec, bvspec, wspec, bvspec,
+                  wspec, bvspec, wspec, bvspec, bias],
+        out_specs=[qkv, qkv, qkv, qkv],
+        scratch_shapes=[pltpu.VMEM((bt, S, HD), x.dtype)],
+    )(seed, x, wq, bvecs[0], wk, bvecs[1], wv, bvecs[2], wo, bvecs[3], b2)
+    # bq..bo ride the residuals only to pin their cotangent DTYPES (the
+    # kernel accumulates db* in fp32; [D]-sized, negligible)
+    return y, (x, q, k, v, b2, seed, wq, wk, wv, wo, bq, bk, bv, bo)
+
+
+def _linear_bwd(x, dy, w):
+    B, S, HD = x.shape
+    bt = _bt_linb(B, S, HD, x.dtype.itemsize)
+    qkv, _, _ = _flat_specs(S, HD, bt)
+    dx, dw32, db32 = pl.pallas_call(
+        _linear_bwd_kernel,
+        out_shape=[jax.ShapeDtypeStruct((B, S, HD), x.dtype),
+                   jax.ShapeDtypeStruct((HD, HD), jnp.float32),
+                   jax.ShapeDtypeStruct((1, HD), jnp.float32)],
+        grid=(B // bt,),
+        in_specs=[qkv, qkv, _wspec(HD)],
+        out_specs=[qkv, _wspec(HD), _bvspec(HD)],
+    )(x, dy, w)
+    return dx, dw32.astype(w.dtype), db32[0]
+
+
+def _attn_block_bwd(keep_t, num_heads, res, g):
+    x, q, k, v, b2, seed, wq, wk, wv, wo, bq, bk, bv, bo = res
+    bdt = (bq.dtype, bk.dtype, bv.dtype, bo.dtype)
+    B, S, HD = x.shape
+    bt = _bt_proj_bwd(B, S, HD, x.dtype.itemsize)
+    qkv, bias, seedspec = _flat_specs(S, HD, bt)
+    dq, dk, dv, dwo32, dbo32, db2 = pl.pallas_call(
+        functools.partial(_proj_bwda_kernel,
+                          scale=1.0 / math.sqrt(HD // num_heads),
+                          keep_t=keep_t, num_heads=num_heads),
+        out_shape=[jax.ShapeDtypeStruct((B, S, HD), x.dtype),
+                   jax.ShapeDtypeStruct((B, S, HD), x.dtype),
+                   jax.ShapeDtypeStruct((B, S, HD), x.dtype),
+                   jax.ShapeDtypeStruct((HD, HD), jnp.float32),
+                   jax.ShapeDtypeStruct((1, HD), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, S), jnp.float32)],
+        grid=(B // bt,),
+        in_specs=[seedspec, qkv, qkv, qkv, bias, qkv, _wspec(HD)],
+        out_specs=[qkv, qkv, qkv, _wspec(HD), _bvspec(HD), bias],
+        scratch_shapes=[pltpu.VMEM((bt, S, HD), x.dtype)],
+    )(seed, q, k, v, b2, g, wo)
+    dxq, dwq, dbq = _linear_bwd(x, dq, wq)
+    dxk, dwk, dbk = _linear_bwd(x, dk, wk)
+    dxv, dwv, dbv = _linear_bwd(x, dv, wv)
+    import numpy as np
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return (dxq + dxk + dxv, dwq, dbq.astype(bdt[0]), dwk,
+            dbk.astype(bdt[1]), dwv, dbv.astype(bdt[2]),
+            dwo32.astype(wo.dtype), dbo32[0].astype(bdt[3]),
+            db2.astype(b2.dtype), dseed)
+
+
+_attn_block_core.defvjp(
+    lambda x, wq, bq, wk, bk, wv, bv, wo, bo, b2, seed, keep_t, num_heads:
+        _attn_block_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, b2, seed,
+                        keep_t, num_heads),
+    _attn_block_bwd)
+
+
+def fused_attention_block(x: jnp.ndarray, wq, bq, wk, bk, wv, bv, wo, bo,
+                          bias: jnp.ndarray, num_heads: int, *,
+                          dropout_rate: float = 0.0,
+                          rng=None) -> jnp.ndarray:
+    """Whole-block training kernel ("proj"): y = (attn(x Wq, x Wk, x Wv)
+    + dropout) Wo + bo computed entirely in Pallas — see the module
+    docstring block above for the boundary-copy motivation. x: [B, S, HD]
+    (the block input, post-LN); w*: [HD, HD] (pre-cast to the compute
+    dtype by the caller); b*: [HD] fp32 (bias adds happen on the fp32
+    accumulator, exactly like layers.linear); bias: [B, 1, 1, S] additive
+    key-side. Returns y: [B, S, HD] in x.dtype."""
+    B, S, HD = x.shape
+    b2 = bias[:, 0, 0, :][:, None, :]                 # [B, 1, S]
+    t, seed = _dropout_seed(dropout_rate, rng)
+    return _attn_block_core(x, wq, bq, wk, bk, wv, bv, wo, bo, b2, seed,
+                            t, num_heads)
+
+
 def fused_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: jnp.ndarray, num_heads: int, *,
                           dropout_rate: float = 0.0,

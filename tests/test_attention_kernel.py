@@ -377,3 +377,139 @@ def test_fused_train_step_matches_xla_step():
                     jax.tree.leaves(st_ref.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Projected-boundary kernel (fused="proj"): whole attention block in Pallas
+# ---------------------------------------------------------------------------
+
+def test_fused_proj_matches_xla_values_and_grads():
+    """fused='proj' (q/k/v projections + attention core + output projection
+    all inside Pallas) must match the XLA MHA path in value AND grads —
+    including x and every weight/bias — at rate 0."""
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.models.layers import multi_head_attention
+    r = np.random.RandomState(3)
+    B, S, H, hd = 3, 20, 4, 8
+    D = H * hd
+    x = jnp.asarray(r.randn(B, S, D), jnp.float32)
+    p = {k: {"w": jnp.asarray(r.randn(D, D) / np.sqrt(D), jnp.float32),
+             "b": jnp.asarray(r.randn(D) * 0.1, jnp.float32)}
+         for k in ("q", "k", "v", "o")}
+    mask = np.ones((B, S), np.float32)
+    mask[1, -5:] = 0
+    bias = jnp.asarray(((1 - mask) * -10000.0)[:, None, None, :])
+    w = jnp.asarray(r.randn(B, S, D), jnp.float32)
+    rng = jax.random.key(0)
+
+    def loss(xx, params, fused):
+        y = multi_head_attention(xx, xx, params, H, bias, dropout_rate=0.0,
+                                 rng=rng, deterministic=False, fused=fused)
+        return jnp.sum(y * w)
+
+    ref_val, ref_g = jax.value_and_grad(loss, (0, 1))(x, p, False)
+    with pltpu.force_tpu_interpret_mode():
+        val, g = jax.value_and_grad(loss, (0, 1))(x, p, "proj")
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(ref_g[0]),
+                               rtol=3e-4, atol=3e-4, err_msg="dx")
+    for k in ("q", "k", "v", "o"):
+        for leaf in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(g[1][k][leaf]), np.asarray(ref_g[1][k][leaf]),
+                rtol=3e-4, atol=3e-4, err_msg=f"{k}.{leaf}")
+
+
+def test_fused_proj_dropout_applies_and_replays():
+    """rate>0 through fused='proj': rng-deterministic forward, dropout
+    actually applied, and the custom VJP's in-kernel mask replay matches
+    finite differences on x (mask fixed by the rng)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.models.layers import multi_head_attention
+    r = np.random.RandomState(4)
+    B, S, H, hd = 2, 16, 2, 8
+    D = H * hd
+    x = jnp.asarray(r.randn(B, S, D), jnp.float32)
+    p = {k: {"w": jnp.asarray(r.randn(D, D) / np.sqrt(D), jnp.float32),
+             "b": jnp.zeros((D,), jnp.float32)} for k in ("q", "k", "v", "o")}
+    bias = jnp.zeros((B, 1, 1, S), jnp.float32)
+    kw = dict(dropout_rate=0.5, deterministic=False, fused="proj")
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(multi_head_attention(x, x, p, H, bias,
+                                            rng=jax.random.key(1), **kw))
+        b = np.asarray(multi_head_attention(x, x, p, H, bias,
+                                            rng=jax.random.key(1), **kw))
+        base = np.asarray(multi_head_attention(
+            x, x, p, H, bias, dropout_rate=0.0, rng=jax.random.key(1),
+            deterministic=False, fused="proj"))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - base).max() > 1e-6
+
+    wsum = jnp.asarray(r.randn(B, S, D), jnp.float32)
+
+    def loss(xx):
+        return jnp.sum(multi_head_attention(
+            xx, xx, p, H, bias, rng=jax.random.key(1), **kw) * wsum)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = np.asarray(jax.grad(loss)(x))
+        eps = 3e-3
+        rr = np.random.RandomState(0)
+        for _ in range(6):
+            i, j, l = rr.randint(B), rr.randint(S), rr.randint(D)
+            dx = np.zeros(x.shape, np.float32)
+            dx[i, j, l] = eps
+            fd = (float(loss(x + dx)) - float(loss(x - dx))) / (2 * eps)
+            assert abs(fd - g[i, j, l]) < 5e-2 * max(1.0, abs(fd)), \
+                (fd, g[i, j, l])
+
+
+def test_fused_proj_train_step_matches_xla_step():
+    """make_train_step(fused_attn='proj') tracks the XLA step bit-for-bit
+    at zero dropout on a tiny M3P (same harness as the flat-kernel
+    integration test): loss equal and every updated param leaf close."""
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.config import M3PConfig
+    from clg_vqa_tpu.models import m3p
+    from clg_vqa_tpu.train import loop as tl
+    from clg_vqa_tpu.train.optim import (make_optimizer,
+                                         warmup_linear_schedule)
+    from clg_vqa_tpu.models.layers import unstack_layer_params
+    r = np.random.RandomState(0)
+    cfg = M3PConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+                    intermediate_size=64, v_feature_size=16, num_locs=5,
+                    pooler_size=32, clf_hidden_size=32, num_labels=6,
+                    dropout=0.0, attention_dropout=0.0, clf_dropout_prob=0.0)
+    params = m3p.init_params(jax.random.key(0), cfg)
+    D = jnp.asarray(r.rand(6, 6), jnp.float32)
+    opt = make_optimizer(unstack_layer_params(params, 2),
+                         warmup_linear_schedule(1e-3, 2, 100))
+    acc, mbs, T, R = 2, 4, 8, 5
+    batch = {
+        "input_ids": jnp.asarray(r.randint(3, 64, (acc, mbs, T)), jnp.int32),
+        "input_mask": jnp.ones((acc, mbs, T), jnp.int32),
+        "features": jnp.asarray(r.randn(acc, mbs, R, 16), jnp.float32),
+        "locs": jnp.asarray(r.rand(acc, mbs, R, 5), jnp.float32),
+        "image_mask": jnp.ones((acc, mbs, R), jnp.int32),
+        "labels": jnp.asarray(r.randint(0, 6, (acc, mbs)), jnp.int32),
+    }
+    rng = jax.random.key(0, impl="rbg")
+
+    def one_step(fused):
+        step = tl.make_train_step(m3p.forward, cfg, opt, D,
+                                  semantic_lambda=0.0, compute_dtype=None,
+                                  fused_attn=fused)
+        st = tl.perlayer_state(
+            tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32)),
+            2)
+        return step(st, batch, rng, None, None, jnp.int32(0))
+
+    st_ref, m_ref = one_step(False)
+    with pltpu.force_tpu_interpret_mode():
+        st_k, m_k = one_step("proj")
+    np.testing.assert_allclose(float(m_k["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_k.params),
+                    jax.tree.leaves(st_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)

@@ -45,6 +45,115 @@ def xla_attention(q, k, v, bias, num_heads):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(B, S, HD)
 
 
+def check_proj():
+    """On-chip properties of the projected-boundary whole-block kernel
+    (ops/attention.fused_attention_block via fused='proj'). The dropout
+    machinery (_keep_mask + per-grid-cell prng_seed) is SHARED with the
+    flat kernel whose 7 properties the default run verifies; what is new
+    here is the in-kernel projections and their weight grads, so the
+    checks are: full-block parity at rate 0 (value + dx + every dW/db),
+    dropout determinism/sensitivity through the block, fwd/bwd mask
+    agreement via Wv-linearity (self-calibrating against a deliberately
+    mismatched-seed 'bug signal'), and a production-shape bf16 compile."""
+    from clg_vqa_tpu.models.layers import multi_head_attention
+    r = np.random.RandomState(0)
+    B, S, H, hd = 8, 140, 12, 64
+    D = H * hd
+    x = jnp.asarray(r.randn(B, S, D).astype(np.float32) * 0.5)
+    p = {k: {"w": jnp.asarray(r.randn(D, D).astype(np.float32) / np.sqrt(D)),
+             "b": jnp.asarray(r.randn(D).astype(np.float32) * 0.1)}
+         for k in ("q", "k", "v", "o")}
+    mask = np.ones((B, S), np.float32)
+    mask[1, -9:] = 0
+    bias = jnp.asarray(((1 - mask) * -10000.0)[:, None, None, :])
+    w = jnp.asarray(r.randn(B, S, D), jnp.float32)
+    rng7, rng8 = jax.random.key(7), jax.random.key(8)
+
+    def loss(xx, params, fused, rate=0.0, rng=rng7):
+        y = multi_head_attention(xx, xx, params, H, bias,
+                                 dropout_rate=rate, rng=rng,
+                                 deterministic=False, fused=fused)
+        return jnp.sum(y * w)
+
+    # 1. rate=0 value + grad parity vs the XLA block (x and all weights).
+    # Tolerances: fp32 rides the MXU at default precision on both paths
+    # but with different contraction orders (the kernel accumulates dW as
+    # B/bt per-sample K=S GEMMs into a resident fp32 block vs XLA's single
+    # big GEMM) — measured worst case on chip: 1 element of 589k at
+    # 2.7e-3 abs / 9.6e-3 rel (dv.w), everything else under 2e-3.
+    rv, rg = jax.value_and_grad(loss, (0, 1))(x, p, False)
+    kv_, kg = jax.value_and_grad(loss, (0, 1))(x, p, "proj")
+    np.testing.assert_allclose(float(kv_), float(rv), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(kg[0]), np.asarray(rg[0]),
+                               rtol=2e-2, atol=5e-3, err_msg="dx")
+    for kk in ("q", "k", "v", "o"):
+        for leaf in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(kg[1][kk][leaf]), np.asarray(rg[1][kk][leaf]),
+                rtol=2e-2, atol=5e-3, err_msg=f"d{kk}.{leaf}")
+    print("PASS proj rate=0 value + (dx, dW*, db*) parity vs XLA "
+          "(S=140, H=12)")
+
+    # 2-3. dropout determinism + seed sensitivity through the block
+    def fwd(rate, rng):
+        return multi_head_attention(x, x, p, H, bias, dropout_rate=rate,
+                                    rng=rng, deterministic=False,
+                                    fused="proj")
+
+    a = np.asarray(fwd(0.5, rng7))
+    b = np.asarray(fwd(0.5, rng7))
+    c = np.asarray(fwd(0.5, rng8))
+    base = np.asarray(fwd(0.0, rng7))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-6, "different rng must differ"
+    assert np.abs(a - base).max() > 1e-6, "dropout must be applied"
+    g1 = np.asarray(jax.grad(loss)(x, p, "proj", 0.5, rng7))
+    g2 = np.asarray(jax.grad(loss)(x, p, "proj", 0.5, rng7))
+    np.testing.assert_array_equal(g1, g2)
+    print("PASS proj dropout determinism + seed sensitivity "
+          "(fwd and bwd replay)")
+
+    # 4. fwd/bwd mask agreement via Wv-linearity: with bv = bo = 0 the
+    # block output is LINEAR in Wv under a fixed realized mask, so
+    # loss == <dWv, Wv> exactly (up to rounding) — the forward realizes
+    # the mask in the fwd kernel, dWv realizes it in the bwd kernels.
+    # Self-calibrating: the same identity evaluated with a MISMATCHED
+    # seed gives the magnitude a genuine fwd/bwd divergence would show.
+    p0 = {**p, "v": {"w": p["v"]["w"], "b": jnp.zeros((D,), jnp.float32)},
+          "o": {"w": p["o"]["w"], "b": jnp.zeros((D,), jnp.float32)}}
+    lv, gv = jax.value_and_grad(loss, 1)(x, p0, "proj", 0.3, rng7)
+    inner = float(jnp.vdot(gv["v"]["w"], p0["v"]["w"]))
+    lv8 = float(loss(x, p0, "proj", 0.3, rng8))
+    bug_signal = abs(float(lv) - lv8)
+    noise = abs(inner - float(lv))
+    print(f"     Wv-linearity: <dWv,Wv>={inner:.3f} loss={float(lv):.3f} "
+          f"(noise {noise:.3f}; mismatched-seed signal {bug_signal:.3f})")
+    assert noise < max(2.0, bug_signal / 10.0), (inner, float(lv), bug_signal)
+    print("PASS proj fwd/bwd realize the same mask (Wv-linearity)")
+
+    # 5. production-shape bf16 compile + finite step: mbs=128 at BOTH
+    # recipe shapes (VMEM budget check for the real training tiles)
+    for S2, tag in ((140, "m3p"), (76, "uc2")):
+        x2 = jnp.asarray(np.random.RandomState(1).randn(128, S2, D) * 0.3,
+                         jnp.bfloat16)
+        b2 = jnp.zeros((128, 1, 1, S2), jnp.float32)
+        p2 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+
+        def bloss(params):
+            y = multi_head_attention(x2, x2, params, H, b2,
+                                     dropout_rate=0.1, rng=rng7,
+                                     deterministic=False, fused="proj")
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        val, grads = jax.jit(jax.value_and_grad(bloss))(p2)
+        assert np.isfinite(float(val))
+        assert all(np.isfinite(np.asarray(g, np.float32)).all()
+                   for g in jax.tree.leaves(grads))
+        print(f"PASS proj production-shape bf16 fwd+bwd finite "
+              f"(mbs=128, S={S2}, {tag})")
+    print("ALL PASS")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--flat", action="store_true",
@@ -54,6 +163,11 @@ def main():
                     help="check the two forward-only EVAL kernels "
                          "(blocked fused_attention + flat "
                          "fused_attention_flat) against XLA on chip, then "
+                         "exit")
+    ap.add_argument("--proj", action="store_true",
+                    help="check the projected-boundary whole-block kernel "
+                         "(fused='proj': q/k/v projections + attention core "
+                         "+ output projection inside Pallas) on chip, then "
                          "exit")
     args = ap.parse_args()
     assert jax.default_backend() == "tpu", \
@@ -77,6 +191,10 @@ def main():
                 np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
                 print(f"PASS eval fwd parity on chip: {name} (S={S}, {tag})")
         print("ALL PASS")
+        return
+
+    if args.proj:
+        check_proj()
         return
     fused_attention_train = (A.fused_attention_train_flat if args.flat
                              else A.fused_attention_train)

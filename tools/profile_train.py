@@ -74,6 +74,12 @@ def main():
                     help="flat-boundary variant of --fused-attn: q/k/v stay "
                          "[B,S,H*hd], heads looped INSIDE the kernel over "
                          "64-aligned lane slices (no transposes at all)")
+    ap.add_argument("--fused-proj", action="store_true",
+                    help="projected-boundary variant: the q/k/v projections, "
+                         "attention core AND output projection all run "
+                         "inside Pallas (ops/attention.fused_attention_block)"
+                         " — only x/y (fwd) and g/dx (bwd) cross the "
+                         "custom-call boundary")
     args = ap.parse_args()
 
     import jax
@@ -112,6 +118,7 @@ def main():
         mod.forward, cfg, opt, D, semantic_lambda=10.0, top_k=10,
         compute_dtype=jnp.bfloat16, unroll_accum=unroll_accum,
         fused_attn=("hm" if args.fused_hm else
+                    "proj" if args.fused_proj else
                     "flat" if args.fused_flat else args.fused_attn)),
         donate_argnums=(0,))
 
