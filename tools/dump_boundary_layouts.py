@@ -77,7 +77,7 @@ def build_step(m3p: bool):
     return step, state, batch, rng
 
 
-_DEF = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\S+?)\s+(\w+)[\(.]")
+_DEF = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\S+?)\s+([\w\-]+)\(")
 
 
 def index_computation(lines):
@@ -97,6 +97,10 @@ def main():
     step, state, batch, rng = build_step(args.m3p)
     import jax
     txt = step.lower(state, batch, rng).compile().as_text()
+    out_path = "/tmp/step_hlo.txt"
+    with open(out_path, "w") as f:
+        f.write(txt)
+    print("HLO saved to", out_path, len(txt), "bytes")
     lines = txt.splitlines()
     defs = index_computation(lines)
 
