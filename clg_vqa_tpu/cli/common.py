@@ -68,13 +68,14 @@ def add_train_args(p: argparse.ArgumentParser):
                         "'params' saves params+step only (1/3 the device "
                         "fetch; resume restarts optimizer moments)")
     p.add_argument("--fused_attn",
-                   choices=("auto", "on", "off", "flat", "proj"),
+                   choices=("auto", "on", "off", "flat", "proj", "sm"),
                    default="auto",
                    help="Pallas custom-VJP train attention: 'auto'/'on' = "
                         "the flat-boundary kernel for bf16 on TPU (both "
-                        "recipes); 'flat'/'proj' force a specific kernel "
-                        "('proj' also fuses the q/k/v/o projections into "
-                        "the Pallas block) — docs/PERFORMANCE.md round 4")
+                        "recipes); 'flat'/'proj'/'sm' force a specific "
+                        "kernel ('proj' also fuses the q/k/v/o projections "
+                        "into the Pallas block; 'sm' cuts the boundary "
+                        "S-major) — docs/PERFORMANCE.md round 4")
     p.add_argument("--no_train_bank", action="store_true",
                    help="stream features host->device per batch instead of "
                         "parking the train store in HBM")

@@ -222,6 +222,19 @@ def multi_head_attention(
         q = linear(x_q, p["q"], compute_dtype)
         k = linear(x_kv, p["k"], compute_dtype)
         v = linear(x_kv, p["v"], compute_dtype)
+        if fused == "sm" and not deterministic:
+            # S-major-boundary training kernel: same math as flat, but the
+            # Pallas boundary carries [S,B,D] whose row-major layout equals
+            # the {2,0,1} XLA's conv-emitter projections prefer on [B,S,D],
+            # so the per-layer layout-assignment copies around the flat
+            # kernel's operands fold into bitcasts. See
+            # ops/attention.fused_attention_train_smajor + the round-4
+            # boundary-copy forensics in docs/PERFORMANCE.md.
+            from ..ops.attention import fused_attention_train_smajor
+            ctx = fused_attention_train_smajor(q, k, v, bias4, num_heads,
+                                               dropout_rate=dropout_rate,
+                                               rng=rng)
+            return linear(ctx, p["o"], compute_dtype)
         if fused == "flat" and not deterministic:
             # Flat-boundary training kernel: heads looped INSIDE the kernel
             # over 64-aligned lane slices — q/k/v keep the projections'
@@ -234,7 +247,7 @@ def multi_head_attention(
                                              rng=rng)
             return linear(ctx, p["o"], compute_dtype)
         if deterministic:
-            if fused in ("flat", "proj"):
+            if fused in ("flat", "proj", "sm"):
                 # flat-boundary eval kernel: heads looped inside the kernel
                 # over lane slices — no head split/merge transposes around
                 # the kernel (the eval twin of the train default).

@@ -907,3 +907,226 @@ def fused_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     t, seed = _dropout_seed(dropout_rate, rng)
     out = _attn_train_core(qh, kh, vh, b2, seed, t)
     return out[:, :, :S, :].transpose(0, 2, 1, 3).reshape(B, S, HD)
+
+
+# ---------------------------------------------------------------------------
+# S-major training kernel ("sm"): same math and dropout semantics as the
+# flat kernel, but the custom-call boundary carries S-MAJOR activations —
+# q/k/v/o (and their backward twins) cross as logical [S, B, H*hd], whose
+# required row-major layout {2,1,0} is bit-identical to the {2,0,1} layout
+# XLA's conv emitter prefers on the [B, S, H*hd] projections (the
+# boundary-copy forensics in docs/PERFORMANCE.md round 4: 84 copies to
+# bf16[128,140,768]{2,0,1} per M3P step, ~2 ms each, because Mosaic demands
+# row-major operands). With an S-major boundary the jnp.swapaxes in the
+# entry folds into a layout bitcast and those copies never exist.
+#
+# Kernel geometry (Mosaic constraints, probed on chip — see the round-4
+# ledger): blocks are [S, bt, 128] (last two dims must be 8/128-aligned, so
+# heads ride in PAIRS on the lane dim at hd=64 and bt is a multiple of 8);
+# the batch sits on SUBLANES, so the per-head mats are per-sample 2D
+# [S, hd] slices (middle-index loads), and per-head outputs are
+# concatenated on lanes for one full-lane store per sample. A leading-batch
+# rank-3 dot with the batch mid-block and a [S, bt, 64] output block both
+# crash the Mosaic backend (HTTP 500, remote compiler) — the working form
+# is exactly what these kernels use.
+# ---------------------------------------------------------------------------
+
+def _sm_dims(S: int, B: int, HD: int, num_heads: int):
+    """(bt, group_width, heads_per_group) for the S-major grid, or raise —
+    callers gate on this to fall back to the flat kernel."""
+    hd = HD // num_heads
+    if 128 % hd == 0:
+        gh = 128 // hd
+        gw = 128
+    elif hd % 128 == 0:
+        gh, gw = 1, hd
+    else:
+        raise ValueError(f"sm kernel needs hd | 128 or 128 | hd, got {hd}")
+    if HD % gw or num_heads % gh:
+        raise ValueError(f"sm kernel needs HD % {gw} == 0")
+    if B % 8:
+        raise ValueError(f"sm kernel needs batch % 8 == 0, got {B}")
+    bt = 8
+    return bt, gw, gh
+
+
+def _sm_specs(S, bt, gw):
+    qkv = pl.BlockSpec((S, bt, gw), lambda b, g: (0, b, g),
+                       memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((bt, 1, S), lambda b, g: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1), lambda b, g: (0, 0),
+                        memory_space=pltpu.SMEM)
+    return qkv, bias, seed
+
+
+def _sm_cell_seed(seed_ref):
+    # distinct stream per (batch-tile, head-group) cell; fwd and bwd derive
+    # the SAME seed and issue the identical _keep_mask call sequence, so the
+    # backward replays the forward's exact dropout mask without storing it
+    pltpu.prng_seed(seed_ref[0, 0]
+                    + pl.program_id(0) * 16384 + pl.program_id(1))
+
+
+def _sm_probs(q_ref, k_ref, bias_ref, i, h, hd, scale):
+    sl = slice(h * hd, (h + 1) * hd)
+    q = q_ref[:, i, sl].astype(jnp.float32)           # [S, hd]
+    k = k_ref[:, i, sl].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    s = s + bias_ref[i, 0, :][None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True), q, k
+
+
+def _sm_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                   *, scale: float, keep_t: int, gh: int):
+    if keep_t < 256:
+        _sm_cell_seed(seed_ref)
+    bt = q_ref.shape[1]
+    hd = q_ref.shape[2] // gh
+    for i in range(bt):
+        outs = []
+        for h in range(gh):
+            p, _, _ = _sm_probs(q_ref, k_ref, bias_ref, i, h, hd, scale)
+            if keep_t < 256:
+                p = jnp.where(_keep_mask(p.shape, keep_t),
+                              p * (256.0 / keep_t), 0.0)
+            v = v_ref[:, i, h * hd:(h + 1) * hd].astype(jnp.float32)
+            outs.append(jnp.dot(p, v, preferred_element_type=jnp.float32))
+        o_ref[:, i, :] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _sm_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                   dq_ref, dk_ref, dv_ref, db_ref,
+                   *, scale: float, keep_t: int, gh: int):
+    if keep_t < 256:
+        _sm_cell_seed(seed_ref)
+    bt = q_ref.shape[1]
+    hd = q_ref.shape[2] // gh
+    rows = []
+    for i in range(bt):
+        dqs, dks, dvs = [], [], []
+        db_i = None
+        for h in range(gh):
+            # identical PRNG call sequence as the forward -> identical mask
+            p, q, k = _sm_probs(q_ref, k_ref, bias_ref, i, h, hd, scale)
+            if keep_t < 256:
+                keep = _keep_mask(p.shape, keep_t)
+                r = 256.0 / keep_t
+                pd = jnp.where(keep, p * r, 0.0)
+            else:
+                pd = p
+            sl = slice(h * hd, (h + 1) * hd)
+            v = v_ref[:, i, sl].astype(jnp.float32)
+            do = do_ref[:, i, sl].astype(jnp.float32)
+            dvs.append(jnp.dot(pd.T, do, preferred_element_type=jnp.float32))
+            dpd = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+            dp = jnp.where(keep, dpd * r, 0.0) if keep_t < 256 else dpd
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dqs.append(jnp.dot(ds, k,
+                               preferred_element_type=jnp.float32) * scale)
+            dks.append(jnp.dot(ds.T, q,
+                               preferred_element_type=jnp.float32) * scale)
+            dsq = jnp.sum(ds, axis=0)                  # [S] key-side
+            db_i = dsq if db_i is None else db_i + dsq
+        dq_ref[:, i, :] = jnp.concatenate(dqs, -1).astype(dq_ref.dtype)
+        dk_ref[:, i, :] = jnp.concatenate(dks, -1).astype(dk_ref.dtype)
+        dv_ref[:, i, :] = jnp.concatenate(dvs, -1).astype(dv_ref.dtype)
+        rows.append(db_i[None, :])
+    # bias grad: the db block has the same index for every head-group cell,
+    # so it stays resident and the g-loop accumulates into it (g is the
+    # minor/fastest grid dim) — same pattern as the head-blocked kernel
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    db_ref[:, 0, :] += jnp.concatenate(rows, axis=0).astype(db_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _attn_train_core_sm(qs, ks, vs, b2, seed, keep_t, num_heads):
+    out, _ = _attn_train_sm_fwd(qs, ks, vs, b2, seed, keep_t, num_heads)
+    return out
+
+
+def _attn_train_sm_fwd(qs, ks, vs, b2, seed, keep_t, num_heads):
+    S, B, HD = qs.shape
+    bt, gw, gh = _sm_dims(S, B, HD, num_heads)
+    qkv, bias, seedspec = _sm_specs(S, bt, gw)
+    out = pl.pallas_call(
+        functools.partial(_sm_fwd_kernel,
+                          scale=1.0 / math.sqrt(HD // num_heads),
+                          keep_t=keep_t, gh=gh),
+        out_shape=jax.ShapeDtypeStruct((S, B, HD), qs.dtype),
+        grid=(B // bt, HD // gw),
+        in_specs=[seedspec, qkv, qkv, qkv, bias],
+        out_specs=qkv,
+    )(seed, qs, ks, vs, b2)
+    return out, (qs, ks, vs, b2, seed)
+
+
+def _attn_train_sm_bwd(keep_t, num_heads, res, g):
+    qs, ks, vs, b2, seed = res
+    S, B, HD = qs.shape
+    bt, gw, gh = _sm_dims(S, B, HD, num_heads)
+    qkv, bias, seedspec = _sm_specs(S, bt, gw)
+    dq, dk, dv, db = pl.pallas_call(
+        functools.partial(_sm_bwd_kernel,
+                          scale=1.0 / math.sqrt(HD // num_heads),
+                          keep_t=keep_t, gh=gh),
+        out_shape=[jax.ShapeDtypeStruct((S, B, HD), qs.dtype),
+                   jax.ShapeDtypeStruct((S, B, HD), ks.dtype),
+                   jax.ShapeDtypeStruct((S, B, HD), vs.dtype),
+                   jax.ShapeDtypeStruct((B, 1, S), jnp.float32)],
+        grid=(B // bt, HD // gw),
+        in_specs=[seedspec, qkv, qkv, qkv, bias, qkv],
+        out_specs=[qkv, qkv, qkv, bias],
+    )(seed, qs, ks, vs, b2, g)
+    import numpy as np
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, db, dseed
+
+
+_attn_train_core_sm.defvjp(
+    lambda qs, ks, vs, b2, seed, keep_t, num_heads:
+        _attn_train_sm_fwd(qs, ks, vs, b2, seed, keep_t, num_heads),
+    _attn_train_sm_bwd)
+
+
+def fused_attention_train_smajor(q: jnp.ndarray, k: jnp.ndarray,
+                                 v: jnp.ndarray, bias: jnp.ndarray,
+                                 num_heads: int, *,
+                                 dropout_rate: float = 0.0,
+                                 rng=None) -> jnp.ndarray:
+    """S-major-boundary training kernel: functionally the flat kernel
+    (heads in-kernel, fp32 softmax post-scaled QK^T, in-kernel u8 PRNG
+    dropout replayed on the backward — reference math per
+    encoders.py:266 / m3p_transformer.py:196), with the custom-call
+    boundary cut S-major so the per-layer {2,0,1} layout-assignment
+    copies around the flat kernel's operands fold into bitcasts.
+
+    q/k/v: [B, S, H*hd] pre-projected; bias: [B, 1, 1, S] additive
+    key-side. Returns [B, S, H*hd]. The swapaxes pairs here are layout
+    bitcasts, not data movement, when XLA picks the conv emitter's
+    preferred {2,0,1} for the surrounding projections."""
+    B, S, HD = q.shape
+    b2 = bias[:, 0, 0, :][:, None, :]                 # [B, 1, S]
+    t, seed = _dropout_seed(dropout_rate, rng)
+    qs = jnp.swapaxes(q, 0, 1)
+    ks = jnp.swapaxes(k, 0, 1)
+    vs = jnp.swapaxes(v, 0, 1)
+    out = _attn_train_core_sm(qs, ks, vs, b2, seed, t, num_heads)
+    return jnp.swapaxes(out, 0, 1)
+
+
+def fused_attention_smajor(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           bias: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Forward-only S-major twin (eval): same kernel at keep_t=256."""
+    B, S, HD = q.shape
+    b2 = bias[:, 0, 0, :][:, None, :]
+    seed = jnp.zeros((1, 1), jnp.int32)
+    out, _ = _attn_train_sm_fwd(jnp.swapaxes(q, 0, 1), jnp.swapaxes(k, 0, 1),
+                                jnp.swapaxes(v, 0, 1), b2, seed, 256,
+                                num_heads)
+    return jnp.swapaxes(out, 0, 1)

@@ -130,15 +130,16 @@ class FinetuneRunner:
         # 213.7 ms/step (+18.6%), UC2 130.0 -> 124.2 (+4.7%)
         # (docs/PERFORMANCE.md round 4). `on` forces the same kernel off-
         # policy; fp32 parity mode and non-TPU backends keep XLA.
-        if fused_attn not in ("auto", "on", "off", "flat", "proj"):
-            raise ValueError(f"fused_attn must be auto/on/off/flat/proj, "
+        if fused_attn not in ("auto", "on", "off", "flat", "proj", "sm"):
+            raise ValueError(f"fused_attn must be auto/on/off/flat/proj/sm, "
                              f"got {fused_attn!r}")
         kernel_ok = (compute_dtype == jnp.bfloat16
                      and jax.default_backend() == "tpu")
-        if fused_attn in ("flat", "proj"):
+        if fused_attn in ("flat", "proj", "sm"):
             # force a specific kernel (A/B and debugging; proj additionally
-            # fuses the q/k/v/o projections into the Pallas block —
-            # ops/attention.fused_attention_block)
+            # fuses the q/k/v/o projections into the Pallas block; sm cuts
+            # the boundary S-major so the per-layer layout copies fold —
+            # ops/attention.fused_attention_block / _train_smajor)
             self.train_fused = fused_attn
         else:
             self.train_fused = "flat" if (fused_attn == "on" or (

@@ -169,6 +169,10 @@ def main():
                          "(fused='proj': q/k/v projections + attention core "
                          "+ output projection inside Pallas) on chip, then "
                          "exit")
+    ap.add_argument("--sm", action="store_true",
+                    help="check the S-major-boundary kernel (fused='sm': "
+                         "batch on sublanes, heads in 128-lane groups — "
+                         "boundary layout == the conv emitter's {2,0,1})")
     args = ap.parse_args()
     assert jax.default_backend() == "tpu", \
         f"needs the real TPU (got {jax.default_backend()})"
@@ -196,10 +200,12 @@ def main():
     if args.proj:
         check_proj()
         return
-    fused_attention_train = (A.fused_attention_train_flat if args.flat
-                             else A.fused_attention_train)
+    fused_attention_train = (
+        A.fused_attention_train_smajor if args.sm
+        else A.fused_attention_train_flat if args.flat
+        else A.fused_attention_train)
     print(f"kernel under test: "
-          f"{'flat-boundary' if args.flat else 'head-blocked'}")
+          f"{'S-major' if args.sm else 'flat-boundary' if args.flat else 'head-blocked'}")
 
     r = np.random.RandomState(0)
     B, S, H, D = 8, 140, 12, 64

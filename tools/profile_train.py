@@ -80,6 +80,11 @@ def main():
                          "inside Pallas (ops/attention.fused_attention_block)"
                          " — only x/y (fwd) and g/dx (bwd) cross the "
                          "custom-call boundary")
+    ap.add_argument("--fused-sm", action="store_true",
+                    help="S-major-boundary variant: q/k/v cross the Pallas "
+                         "boundary as [S,B,HD] (row-major == the conv "
+                         "emitter's preferred {2,0,1}), so the per-layer "
+                         "layout-assignment copies fold into bitcasts")
     args = ap.parse_args()
 
     import jax
@@ -119,6 +124,7 @@ def main():
         compute_dtype=jnp.bfloat16, unroll_accum=unroll_accum,
         fused_attn=("hm" if args.fused_hm else
                     "proj" if args.fused_proj else
+                    "sm" if args.fused_sm else
                     "flat" if args.fused_flat else args.fused_attn)),
         donate_argnums=(0,))
 
