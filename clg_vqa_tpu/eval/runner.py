@@ -68,19 +68,15 @@ def shard_predict_step(forward: Callable, cfg, mesh, params_example,
     only for sharding layout; ``store_idx`` batches work with device_bank
     the same as the single-chip step).
 
-    fused_attn must stay False here: the Pallas attention kernels are
-    single-device programs with no GSPMD partitioning rule, so under a
-    sharded jit the SPMD partitioner would fail on (or replicate) the
-    custom call. Multi-chip eval keeps the XLA attention path; the
-    kernels' wins are measured single-chip (docs/PERFORMANCE.md). A
-    custom_partitioning batch-dim rule is the known lever when real
-    multi-chip hardware is available to validate it."""
-    if fused_attn:
+    fused_attn="flat" is supported under the mesh: the flat Pallas eval
+    kernel shard_maps itself over (dp, mp-head-groups) whenever this step
+    is traced — ops/attention.gspmd_attention, entered here around every
+    call. The blocked kernel (fused_attn=True) stays single-chip-only."""
+    if fused_attn and fused_attn != "flat":
         raise ValueError(
-            "shard_predict_step does not support the Pallas attention "
-            "kernels (fused_attn must be False): pallas_call has no GSPMD "
-            "partitioning rule, so a sharded jit cannot split the custom "
-            "call across the mesh. Use the XLA path for multi-chip eval.")
+            "shard_predict_step supports fused_attn='flat' (shard_mapped "
+            "over the mesh) or False; the blocked/hm/proj/sm kernels are "
+            "single-chip opt-ins with no GSPMD partitioning rule.")
     from ..parallel import mesh as pm
     step = _predict_body(forward, cfg, compute_dtype, fused_attn)
 
@@ -93,7 +89,13 @@ def shard_predict_step(forward: Callable, cfg, mesh, params_example,
         in_shardings=(pm.param_shardings(mesh, params_example),
                       pm.batch_shardings(mesh, batch_example), bank_sh),
         out_shardings=NamedSharding(mesh, P("dp")))
-    return lambda params, batch: jitted(params, batch, bank)
+
+    def call(params, batch):
+        from ..ops.attention import gspmd_attention
+        with gspmd_attention(mesh):
+            return jitted(params, batch, bank)
+
+    return call
 
 
 def run_eval(forward: Callable, params, cfg, dataset, label2ans: list, *,

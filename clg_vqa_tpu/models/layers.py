@@ -229,7 +229,14 @@ def multi_head_attention(
             # so the per-layer layout-assignment copies around the flat
             # kernel's operands fold into bitcasts. See
             # ops/attention.fused_attention_train_smajor + the round-4
-            # boundary-copy forensics in docs/PERFORMANCE.md.
+            # boundary-copy forensics in docs/PERFORMANCE.md. Force-only
+            # debug flag: unsupported shapes (batch % 8, hd vs 128-lane
+            # grouping) raise at trace time — no flat fallback, by design
+            # (a silent fallback would invalidate the A/B). The sm entry is
+            # Mosaic-blocked on-chip as of round 4 (remote-compile HTTP
+            # 500, ledger entry); promote beyond opt-in only after a
+            # check_attention_tpu.py --sm run plus a same-day profile A/B
+            # lands in docs/PERFORMANCE.md.
             from ..ops.attention import fused_attention_train_smajor
             ctx = fused_attention_train_smajor(q, k, v, bias4, num_heads,
                                                dropout_rate=dropout_rate,
@@ -250,7 +257,11 @@ def multi_head_attention(
             if fused in ("flat", "proj", "sm"):
                 # flat-boundary eval kernel: heads looped inside the kernel
                 # over lane slices — no head split/merge transposes around
-                # the kernel (the eval twin of the train default).
+                # the kernel (the eval twin of the train default). NOTE:
+                # deterministic 'sm' also lands here — the S-major eval twin
+                # (ops/attention.fused_attention_smajor) exists but is
+                # test-only; flat is the measured eval optimum for both
+                # models, so forcing sm only swaps the TRAIN kernel.
                 from ..ops.attention import fused_attention_flat
                 ctx = fused_attention_flat(q, k, v, bias4, num_heads)
             else:

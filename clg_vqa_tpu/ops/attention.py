@@ -57,6 +57,8 @@ decorrelation, bwd/fwd mask agreement, bf16 commutation).
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 import math
 
@@ -64,6 +66,52 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# GSPMD integration: under a (dp, mp) mesh the flat kernels are wrapped in
+# jax.shard_map — the grid is batch-tiled, so the kernel is embarrassingly
+# parallel over dp, and the in-kernel head loop splits cleanly over
+# Megatron-mp head groups (q/k/v activations arrive [B, S, HD/mp]-sharded
+# from the column-parallel projections, parallel/mesh._pspec_for). The
+# sharded step builders (train/loop.shard_train_step,
+# eval/runner.shard_predict_step) enter ``gspmd_attention(mesh)`` around
+# every call/lower of their jitted step, so the wrap is applied exactly when
+# tracing a multi-chip program and single-device callers are untouched.
+# ---------------------------------------------------------------------------
+
+_GSPMD: contextvars.ContextVar = contextvars.ContextVar(
+    "attn_gspmd_mesh", default=None)
+
+
+@contextlib.contextmanager
+def gspmd_attention(mesh, dp_axis: str = "dp", mp_axis: str = "mp"):
+    """While active, the flat attention entries shard_map themselves over
+    ``mesh``: batch split on ``dp_axis``, in-kernel head loop split on
+    ``mp_axis``. Entered by the sharded step builders around trace time."""
+    tok = _GSPMD.set((mesh, dp_axis, mp_axis))
+    try:
+        yield
+    finally:
+        _GSPMD.reset(tok)
+
+
+def _gspmd_ctx(B: int, HD: int, num_heads: int):
+    """Validated (mesh, dp, mp, local_heads) for the ambient GSPMD context,
+    or None single-device. Divisibility failures raise loudly at trace time
+    rather than letting the partitioner produce a silent full-replication."""
+    ctx = _GSPMD.get()
+    if ctx is None:
+        return None
+    mesh, dp, mp = ctx
+    n_dp, n_mp = mesh.shape[dp], mesh.shape[mp]
+    if B % n_dp:
+        raise ValueError(f"flat attention under GSPMD needs batch {B} "
+                         f"divisible by dp={n_dp}")
+    if num_heads % n_mp:
+        raise ValueError(f"flat attention under GSPMD needs num_heads "
+                         f"{num_heads} divisible by mp={n_mp}")
+    return mesh, dp, mp, num_heads // n_mp
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
@@ -498,7 +546,6 @@ def _bt_flat_fwd(B: int, S: int, HD: int) -> int:
     return bt
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
 def fused_attention_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          bias: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """Forward-only flat-boundary eval kernel: the eval counterpart of
@@ -507,7 +554,29 @@ def fused_attention_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     lane slices, so the [B,S,D]<->[B,H,S,hd] split/merge transposes the
     blocked eval kernel (fused_attention) pays outside its grid never
     exist. bias: [B, 1, 1, S] additive key-side; returns [B, S, H*hd].
-    Numerics: fp32 softmax in VMEM, same family as the blocked kernel."""
+    Numerics: fp32 softmax in VMEM, same family as the blocked kernel.
+
+    Under gspmd_attention (sharded eval, runner.shard_predict_step) the
+    kernel shard_maps itself over the mesh — batch on dp, head loop on mp.
+    The dispatch lives OUTSIDE the jitted impl: the inner jit cache keys on
+    avals only and would otherwise replay a single-device trace under a
+    sharded caller."""
+    g = _gspmd_ctx(q.shape[0], q.shape[-1], num_heads)
+    if g is not None:
+        mesh, dp, mp, local_heads = g
+        from jax.sharding import PartitionSpec as P
+        return jax.shard_map(
+            functools.partial(_fused_attention_flat_jit,
+                              num_heads=local_heads),
+            mesh=mesh,
+            in_specs=(P(dp, None, mp), P(dp, None, mp), P(dp, None, mp),
+                      P(dp, None, None, None)),
+            out_specs=P(dp, None, mp), check_vma=False)(q, k, v, bias)
+    return _fused_attention_flat_jit(q, k, v, bias, num_heads=num_heads)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def _fused_attention_flat_jit(q, k, v, bias, *, num_heads: int):
     B, S, HD = q.shape
     b2 = bias[:, 0, 0, :][:, None, :]                 # [B, 1, S]
     bt = _bt_flat_fwd(B, S, HD)
@@ -538,6 +607,28 @@ def fused_attention_train_flat(q: jnp.ndarray, k: jnp.ndarray,
     B, S, HD = q.shape
     b2 = bias[:, 0, 0, :][:, None, :]                 # [B, 1, S]
     t, seed = _dropout_seed(dropout_rate, rng)
+    g = _gspmd_ctx(B, HD, num_heads)
+    if g is not None:
+        mesh, dp, mp, local_heads = g
+        from jax.sharding import PartitionSpec as P
+
+        def body(q, k, v, b2, seed):
+            # decorrelate the per-shard dropout streams: each (dp, mp)
+            # shard re-runs the same grid/program_id range, so without an
+            # offset every shard would draw identical masks. The offsets
+            # clear the largest possible per-shard grid (B cells) and the
+            # backward replays them identically (axis_index is stable
+            # across the custom-vjp fwd/bwd pair).
+            off = (jax.lax.axis_index(dp) * (1 << 20)
+                   + jax.lax.axis_index(mp) * (1 << 26)).astype(jnp.int32)
+            return _attn_train_core_flat(q, k, v, b2, seed + off, t,
+                                         local_heads)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(dp, None, mp), P(dp, None, mp), P(dp, None, mp),
+                      P(dp, None, None), P(None, None)),
+            out_specs=P(dp, None, mp), check_vma=False)(q, k, v, b2, seed)
     return _attn_train_core_flat(q, k, v, b2, seed, t, num_heads)
 
 
@@ -932,8 +1023,12 @@ def fused_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _sm_dims(S: int, B: int, HD: int, num_heads: int):
-    """(bt, group_width, heads_per_group) for the S-major grid, or raise —
-    callers gate on this to fall back to the flat kernel."""
+    """(bt, group_width, heads_per_group) for the S-major grid, or raise.
+    NOTE: nothing falls back on these errors — fused_attn='sm' is a
+    force-only debug flag (layers.multi_head_attention routes to the sm
+    entry directly), so an unsupported shape raises at trace time. That is
+    deliberate: a silent flat fallback would invalidate the A/B the flag
+    exists for."""
     hd = HD // num_heads
     if 128 % hd == 0:
         gh = 128 // hd
@@ -942,8 +1037,11 @@ def _sm_dims(S: int, B: int, HD: int, num_heads: int):
         gh, gw = 1, hd
     else:
         raise ValueError(f"sm kernel needs hd | 128 or 128 | hd, got {hd}")
-    if HD % gw or num_heads % gh:
-        raise ValueError(f"sm kernel needs HD % {gw} == 0")
+    if HD % gw:
+        raise ValueError(f"sm kernel needs HD % {gw} == 0, got HD={HD}")
+    if num_heads % gh:
+        raise ValueError(f"sm kernel needs num_heads % {gh} == 0 "
+                         f"(heads per 128-lane group), got {num_heads}")
     if B % 8:
         raise ValueError(f"sm kernel needs batch % 8 == 0, got {B}")
     bt = 8
@@ -1122,7 +1220,13 @@ def fused_attention_train_smajor(q: jnp.ndarray, k: jnp.ndarray,
 
 def fused_attention_smajor(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            bias: jnp.ndarray, num_heads: int) -> jnp.ndarray:
-    """Forward-only S-major twin (eval): same kernel at keep_t=256."""
+    """Forward-only S-major twin (eval): same kernel at keep_t=256.
+
+    TEST-ONLY from the model's perspective: layers.multi_head_attention
+    routes deterministic fused='sm' to fused_attention_flat (the measured
+    eval optimum), so this entry is reachable only from tests/tools. Kept
+    so the S-major A/B can cover the eval direction when the parked
+    boundary-copy work resumes (docs/PERFORMANCE.md forensics)."""
     B, S, HD = q.shape
     b2 = bias[:, 0, 0, :][:, None, :]
     seed = jnp.zeros((1, 1), jnp.int32)

@@ -338,12 +338,12 @@ def shard_train_step(train_step: Callable, mesh, state: TrainState,
     with_bank: the step additionally takes DeviceFeatureBank.tensors() as a
     4th argument (replicated — every dp shard gathers its own rows).
 
-    The wrapped step must have been built with ``fused_attn=False`` (and
-    ``pallas_gather=False``): the Pallas kernels are single-device programs
-    with no GSPMD partitioning rule, so the SPMD partitioner cannot split
-    the custom calls over the mesh — multi-chip training rides the XLA
-    attention path (the kernels' wins are single-chip measurements;
-    see eval/runner.shard_predict_step for the same constraint)."""
+    Steps built with ``fused_attn="flat"`` are fully supported: the flat
+    Pallas kernels shard_map themselves over the mesh (batch on dp, the
+    in-kernel head loop on Megatron-mp head groups) whenever the returned
+    step is called/lowered — see ops/attention.gspmd_attention. Other
+    kernel variants (blocked/hm/proj/sm are single-chip opt-ins) and
+    ``pallas_gather`` still require the XLA path under a mesh."""
     from ..parallel import mesh as pm
 
     # params get the (dp-replicated, mp-sharded) layout; optimizer mu/nu
@@ -354,10 +354,42 @@ def shard_train_step(train_step: Callable, mesh, state: TrainState,
     in_sh = (state_sh, batch_sh, rng_sh)
     if with_bank:
         in_sh = in_sh + ((pm.replicated(mesh),) * 3,)
-    return jax.jit(train_step,
-                   in_shardings=in_sh,
-                   out_shardings=(state_sh, pm.replicated(mesh)),
-                   donate_argnums=(0,) if donate else ())
+    # jit a FRESH closure, not train_step itself: jaxpr tracing is cached
+    # globally on (function identity, avals) and is sharding-independent, so
+    # jitting the same step object a single-device caller already traced
+    # would replay that trace — without the gspmd_attention shard_map wrap
+    # the flat Pallas kernels apply under a mesh (ops/attention.py).
+    def _sharded_step(*args):
+        return train_step(*args)
+
+    jitted = jax.jit(_sharded_step,
+                     in_shardings=in_sh,
+                     out_shardings=(state_sh, pm.replicated(mesh)),
+                     donate_argnums=(0,) if donate else ())
+    return _GspmdAttnStep(jitted, mesh)
+
+
+class _GspmdAttnStep:
+    """Proxy over a sharded jitted step that enters
+    ops.attention.gspmd_attention(mesh) around call/lower, so any flat
+    Pallas attention inside the step is traced with its shard_map wrap.
+    Everything else (cost_analysis, clear_cache, ...) delegates."""
+
+    def __init__(self, jitted, mesh):
+        self._jitted, self._mesh = jitted, mesh
+
+    def __call__(self, *args, **kw):
+        from ..ops.attention import gspmd_attention
+        with gspmd_attention(self._mesh):
+            return self._jitted(*args, **kw)
+
+    def lower(self, *args, **kw):
+        from ..ops.attention import gspmd_attention
+        with gspmd_attention(self._mesh):
+            return self._jitted.lower(*args, **kw)
+
+    def __getattr__(self, name):
+        return getattr(self._jitted, name)
 
 
 def _shard_opt_state_like(mesh, state: TrainState) -> TrainState:

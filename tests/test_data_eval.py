@@ -250,11 +250,28 @@ def test_shard_predict_step_matches_single(eval_world):
     p2 = np.asarray(sharded(params, batch))
     np.testing.assert_array_equal(p1, p2)
 
-    # the Pallas kernels have no GSPMD partitioning rule: requesting them
-    # under a sharded jit must fail loudly, not at an opaque SPMD error
-    with pytest.raises(ValueError, match="Pallas"):
+    # the flat Pallas eval kernel shard_maps itself over the mesh
+    # (ops/attention.gspmd_attention): same predictions as the
+    # single-chip flat kernel, bit-exact in fp32 interpret mode
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        single_f = runner.make_predict_step(uc2.forward, cfg,
+                                            compute_dtype=None,
+                                            fused_attn="flat")
+        sharded_f = runner.shard_predict_step(uc2.forward, cfg, mesh,
+                                              params, batch,
+                                              compute_dtype=None,
+                                              fused_attn="flat")
+        p3 = np.asarray(single_f(params, batch))
+        p4 = np.asarray(sharded_f(params, batch))
+    np.testing.assert_array_equal(p3, p4)
+    np.testing.assert_array_equal(p1, p3)
+
+    # the blocked/hm/proj/sm kernels remain single-chip opt-ins: requesting
+    # them under a sharded jit must fail loudly, not at an opaque SPMD error
+    with pytest.raises(ValueError, match="single-chip"):
         runner.shard_predict_step(uc2.forward, cfg, mesh, params, batch,
-                                  compute_dtype=None, fused_attn="flat")
+                                  compute_dtype=None, fused_attn=True)
 
 
 RESULTS = "/root/reference/results/xgqa/zero_shot"

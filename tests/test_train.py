@@ -201,6 +201,43 @@ def test_multichip_sharded_step_matches_single(tiny):
                                    rtol=2e-4, atol=1e-5)
 
 
+def test_multichip_sharded_step_flat_kernel_matches_single(tiny):
+    """dp=4 x mp=2 with the flat Pallas attention kernel (fused_attn='flat',
+    interpret mode): the kernel shard_maps itself over the mesh — batch on
+    dp, in-kernel head loop split over Megatron-mp head groups — and the
+    sharded step must match the single-device flat step. use_dropout=True
+    keeps the production custom-VJP kernel on the grad path; attention
+    dropout is zeroed because interpret mode emulates the kernel PRNG with
+    an ORDERED io_callback that the SPMD partitioner rejects (real-TPU
+    Mosaic has no callback — the dropout path is only interp-blocked)."""
+    import dataclasses
+    from jax.experimental.pallas import tpu as pltpu
+    from clg_vqa_tpu.parallel import mesh as pm
+    cfg, params, D, make_batch = tiny
+    cfg = dataclasses.replace(cfg, hidden_dropout_prob=0.0,
+                              attention_probs_dropout_prob=0.0,
+                              clf_dropout_prob=0.0)
+    batch = make_batch(3, 2, 8)
+    opt = make_optimizer(params, 1e-3, weight_decay=1e-4, clip_norm=1.0)
+    state = tl.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = tl.make_train_step(uc2.forward, cfg, opt, D, semantic_lambda=10.0,
+                              top_k=4, fused_attn="flat", use_dropout=True,
+                              compute_dtype=None)
+
+    mesh = pm.make_mesh(n_dp=4, n_mp=2)
+    rng = jax.random.key(0)
+    with pltpu.force_tpu_interpret_mode():
+        sharded = tl.shard_train_step(step, mesh, state, batch, donate=False)
+        s1, m1 = jax.jit(step)(state, batch, rng)
+        s2, m2 = sharded(state, batch, rng)
+        jax.block_until_ready((s2.params, m2))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for pa, pb in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_train_step_with_feature_bank(tiny):
     """Training with a device-resident feature bank == host-feature path."""
     import tempfile, os
