@@ -51,6 +51,15 @@ class X101Config:
     groups: int = 64
     width_per_group: int = 4
     fpn_channels: int = 512
+    # RoIAlign box-chunk (ops/roi.roi_align_flat): bounds the fp32
+    # corner-product live set — the round-4 "db=24 compile OOM" was four
+    # [512,1000,7,7]-per-image fp32 buffers from this op (1.87 GB each at
+    # db=20). Bit-identical results at any value. None (default) is the
+    # fastest at the recommended device_batch<=16 (chunking costs ~1.7%
+    # same-day); set 256 to compile device_batch>=20 (measured: db 20/24/32
+    # all fit, but img/s stays flat past 16 — the backbone conv MFU is the
+    # bound, docs/PERFORMANCE.md round-5 X101 entry).
+    roi_box_chunk: int | None = None
 
 
 def init_x101_params(rng, cfg: X101Config | None = None) -> dict:
@@ -172,7 +181,8 @@ class ExtractorX101(PipelinedExtractor):
         # assigned level) on the bf16 pyramid, fp32 accumulation; fc6/fc7 as
         # bf16 matmuls with fp32 accumulation when bf16 is on
         crops = F.multilevel_roi_align_flat(pyr, proposals,
-                                            legacy_levels=True)
+                                            legacy_levels=True,
+                                            box_chunk=c.roi_box_chunk)
         fc6, fc7 = F.box_head_fc(
             crops, params["box_head"],
             compute_dtype=jnp.bfloat16 if c.bf16 else None)

@@ -94,11 +94,13 @@ def multilevel_roi_align(pyramid: list, boxes: jnp.ndarray, *,
 def multilevel_roi_align_flat(pyramid: list, boxes: jnp.ndarray, *,
                               output_size=(7, 7), sampling_ratio: int = 2,
                               base_stride: int = 4,
-                              legacy_levels: bool = False) -> jnp.ndarray:
+                              legacy_levels: bool = False,
+                              box_chunk: int | None = None) -> jnp.ndarray:
     """Same semantics as multilevel_roi_align but via ONE flattened-pyramid
     pass (ops/roi.py:roi_align_flat): each box gathers only from its assigned
     level — 1x instead of 4x the gather work. Accepts bf16 pyramids
-    (accumulates fp32)."""
+    (accumulates fp32). box_chunk: see roi_align_flat (bit-identical
+    sequential box chunks; bounds the fp32 corner-product live set)."""
     from ...ops.roi import roi_align_flat
     lvls = assign_levels(boxes, legacy=legacy_levels)
     feats = [jnp.moveaxis(p[0], -1, 0) for p in pyramid[:4]]   # [C, H, W]
@@ -107,7 +109,8 @@ def multilevel_roi_align_flat(pyramid: list, boxes: jnp.ndarray, *,
     scales = tuple(1.0 / (base_stride * (2 ** i)) for i in range(4))
     return roi_align_flat(flat, boxes, lvls, level_shapes=shapes,
                           spatial_scales=scales, output_size=output_size,
-                          sampling_ratio=sampling_ratio, aligned=False)
+                          sampling_ratio=sampling_ratio, aligned=False,
+                          box_chunk=box_chunk)
 
 
 def box_head_fc(crops: jnp.ndarray, params: Params, compute_dtype=None):

@@ -232,11 +232,12 @@ def multi_head_attention(
             # boundary-copy forensics in docs/PERFORMANCE.md. Force-only
             # debug flag: unsupported shapes (batch % 8, hd vs 128-lane
             # grouping) raise at trace time — no flat fallback, by design
-            # (a silent fallback would invalidate the A/B). The sm entry is
-            # Mosaic-blocked on-chip as of round 4 (remote-compile HTTP
-            # 500, ledger entry); promote beyond opt-in only after a
-            # check_attention_tpu.py --sm run plus a same-day profile A/B
-            # lands in docs/PERFORMANCE.md.
+            # (a silent fallback would invalidate the A/B). Round-5 status:
+            # the round-4 Mosaic crash is fixed, check_attention_tpu --sm
+            # passes all 7 on-chip properties, and the same-day A/B
+            # REJECTED sm as a default (M3P 231.6 vs flat 214.3 ms — the
+            # boundary swapaxes do not fold to bitcasts in the full
+            # program; PERFORMANCE.md forensics entry). Stays opt-in.
             from ..ops.attention import fused_attention_train_smajor
             ctx = fused_attention_train_smajor(q, k, v, bias4, num_heads,
                                                dropout_rate=dropout_rate,

@@ -136,12 +136,13 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray, *,
 
 @partial(jax.jit,
          static_argnames=("output_size", "sampling_ratio", "aligned",
-                          "level_shapes"))
+                          "level_shapes", "box_chunk"))
 def roi_align_flat(flat_features: jnp.ndarray, rois: jnp.ndarray,
                    levels: jnp.ndarray, *, level_shapes: tuple,
                    spatial_scales: tuple, output_size: tuple[int, int],
                    sampling_ratio: int = 2,
-                   aligned: bool = True) -> jnp.ndarray:
+                   aligned: bool = True,
+                   box_chunk: int | None = None) -> jnp.ndarray:
     """RoIAlign over a FLATTENED feature pyramid: ONE pass over R boxes where
     each box samples its assigned level (vs aligning every box on every level
     and selecting — 4x the gather work for FPN).
@@ -150,7 +151,27 @@ def roi_align_flat(flat_features: jnp.ndarray, rois: jnp.ndarray,
     spatial axis); rois [R, 4] xyxy image coords; levels [R] int32 index into
     ``level_shapes``/``spatial_scales``. Same per-level semantics as
     roi_align. Returns [R, C, PH, PW] in fp32.
+
+    box_chunk: process boxes in sequential chunks of (the largest divisor of
+    R not exceeding) this size via lax.map. Per-box math is independent, so
+    results are BIT-IDENTICAL to the unchunked pass; what changes is the
+    live set — unchunked, the four fp32 bilinear-corner products are each
+    [C, R, PH, PW] (1.87 GB apiece at the X101 envelope C=512/R=1000/db=20,
+    the round-4 "db=24 OOM" — the X101 HBM-ceiling forensics in
+    docs/PERFORMANCE.md). None = unchunked.
     """
+    if box_chunk is not None and box_chunk < rois.shape[0]:
+        R = rois.shape[0]
+        chunk = max(c for c in range(1, box_chunk + 1) if R % c == 0)
+        out = jax.lax.map(
+            lambda rl: roi_align_flat(
+                flat_features, rl[0], rl[1], level_shapes=level_shapes,
+                spatial_scales=spatial_scales, output_size=output_size,
+                sampling_ratio=sampling_ratio, aligned=aligned,
+                box_chunk=None),
+            (rois.reshape(R // chunk, chunk, 4),
+             levels.reshape(R // chunk, chunk)))
+        return out.reshape(R, *out.shape[2:])
     C = flat_features.shape[0]
     PH, PW = output_size
     R = rois.shape[0]

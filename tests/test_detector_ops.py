@@ -280,6 +280,14 @@ def test_multilevel_roi_align_flat_matches_per_level():
     assert len(np.unique(lvls)) >= 3, "test should span several levels"
     np.testing.assert_array_equal(a, b)
 
+    # box_chunk (sequential lax.map chunks — the X101 HBM-ceiling knob,
+    # ops/roi.py) is BIT-identical at every chunking, incl. a non-divisor
+    # request (falls back to the largest divisor <= box_chunk)
+    for chunk in (16, 24, 64):
+        c = np.asarray(F.multilevel_roi_align_flat(pyr, boxes,
+                                                   box_chunk=chunk))
+        np.testing.assert_array_equal(b, c)
+
 
 def test_fixpoint_nms_close_scores_exact_priority():
     """Sub-1e-4 score gaps must not invert greedy priority (the old

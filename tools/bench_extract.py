@@ -28,6 +28,9 @@ def main():
                          "ops (stage attribution for docs/PERFORMANCE.md)")
     ap.add_argument("--workers", type=int, default=2,
                     help="prefetch/decode pool size; 0 = inline")
+    ap.add_argument("--roi-chunk", type=int, default=None,
+                    help="x101 only: RoIAlign box_chunk override "
+                         "(0 = unchunked; default = X101Config default)")
     args = ap.parse_args()
 
     import jax
@@ -39,8 +42,13 @@ def main():
         ex = Extractor36(init_extractor_params(jax.random.key(0)))
     else:
         from clg_vqa_tpu.models.detector.extractor_x101 import (
-            ExtractorX101, init_x101_params)
-        ex = ExtractorX101(init_x101_params(jax.random.key(0)))
+            ExtractorX101, X101Config, init_x101_params)
+        cfg = X101Config()
+        if args.roi_chunk is not None:
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, roi_box_chunk=args.roi_chunk or None)
+        ex = ExtractorX101(init_x101_params(jax.random.key(0)), cfg)
 
     r = np.random.RandomState(0)
     imgs = [((r.rand(600, 1000, 3) * 255).astype(np.uint8), f"i{k}")
