@@ -12,8 +12,13 @@ For UC2 (volta/config/uc2_base.json) those lists collapse to "every attention
 sublayer attends jointly over [text; image] with one shared weight set and one
 post-LN" — i.e. a standard 12-block joint-sequence transformer.  We represent
 that collapsed form natively (it is the only form CLG-VQA exercises for UC2)
-and *validate* that any ingested JSON config actually collapses; anything else
-is rejected loudly rather than silently mis-modelled.
+and *validate* that any ingested JSON config actually collapses; a
+non-collapsing wiring is rejected HERE — but it is no longer unsupported:
+general wirings (ViLBERT/LXMERT-style dual streams, VisualBERT/UNITER/
+VL-BERT-style single streams, arbitrary gate/sharing/LN/size-override
+combinations) load through ``models.gated.GatedConfig`` and run on the
+general gated encoder (models/gated.py, golden-parity-tested against the
+reference machinery).
 """
 from __future__ import annotations
 
