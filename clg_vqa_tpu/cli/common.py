@@ -110,8 +110,19 @@ def build_configs(args):
         cfg = M3PConfig.from_json(args.config_file,
                                   num_labels=task_cfg.num_labels)
     else:
-        cfg = UC2Config.from_json(args.config_file,
-                                  num_labels=task_cfg.num_labels)
+        import json as _json
+        with open(args.config_file) as f:
+            raw = _json.load(f)
+        if raw.get("image_embeddings", "uc2") in (
+                "vilbert", "lxmert", "vl-bert", "visualbert", "uniter"):
+            # general gated-zoo wiring (models/gated.py) — ViLBERT/LXMERT/
+            # VL-BERT/VisualBERT/UNITER configs run on the general encoder
+            from ..models.gated import GatedConfig
+            cfg = GatedConfig.from_dict(
+                {**raw, "num_labels": task_cfg.num_labels})
+        else:
+            cfg = UC2Config.from_json(args.config_file,
+                                      num_labels=task_cfg.num_labels)
 
     optim_cfg = OptimConfig(
         lr=task_cfg.lr,
@@ -131,7 +142,11 @@ def build_configs(args):
 def build_model(args, cfg):
     import jax
     from ..models import m3p, uc2
-    mod = m3p if args.is_m3p else uc2
+    from ..models.gated import GatedConfig
+    if isinstance(cfg, GatedConfig):
+        from ..models import gated as mod
+    else:
+        mod = m3p if args.is_m3p else uc2
     if args.from_pretrained:
         params = load_pretrained(args.from_pretrained, cfg, args.is_m3p)
     else:
@@ -152,6 +167,10 @@ def load_pretrained(path: str, cfg, is_m3p: bool):
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = {k: v.numpy() for k, v in sd.items()}
+    from ..models.gated import GatedConfig
+    if isinstance(cfg, GatedConfig):
+        from ..utils.convert_gated import volta_gated_to_pytree
+        return volta_gated_to_pytree(normalize_volta_keys(sd), cfg)
     if not is_m3p and any(".attention.self." in k for k in sd):
         return hf_xlmr_to_uc2_pytree(sd, cfg)
     if is_m3p and any(k.startswith("module.attentions.") for k in sd):
