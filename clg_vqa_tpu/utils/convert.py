@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import UC2Config
@@ -319,3 +320,88 @@ def pytree_to_volta_m3p(params, task_key: str = "TASK15") -> dict[str, np.ndarra
         put_ln(f"clfs_dict.{task_key}.logit_fc.2", c["ln"])
         put_lin(f"clfs_dict.{task_key}.logit_fc.3", c["fc2"])
     return sd
+
+
+def m3p_gen_components_to_pytree(sd: Mapping[str, np.ndarray], cfg,
+                                 *, prefix: str = "",
+                                 refine_layers: int = 3) -> dict:
+    """Map the M3P GENERATION-path components (transformer-level names, as
+    in the original checkpoints' ``module.*`` inventory and
+    M3PTransformerModel.state_dict()) to the ``params["gen"]`` subtree of
+    models/m3p_gen.py: per-layer encoder_attn + layer_norm15, the tied
+    PredLayer bias (the proj weight IS embeddings.weight,
+    m3p_transformer.py:727-728 — only the bias is stored separately), the
+    AoA refiner stack (whose output_layer is deleted when do_aoa, so no
+    key exists for it), the understanding heads, and the first
+    VaeEncoder/LatentDecoder pair (latent_transforms.0 /
+    original_transforms.0)."""
+    import numpy as _np
+
+    def g(name):
+        return _np.asarray(sd[prefix + name])
+
+    def lin(name):
+        return {"w": jnp.asarray(_np.ascontiguousarray(g(f"{name}.weight").T)),
+                "b": jnp.asarray(g(f"{name}.bias"))}
+
+    def ln(name):
+        return {"scale": jnp.asarray(g(f"{name}.weight")),
+                "bias": jnp.asarray(g(f"{name}.bias"))}
+
+    nL = cfg.num_layers
+
+    def stack_lin(fmt):
+        return {"w": jnp.stack([jnp.asarray(_np.ascontiguousarray(
+                    g(fmt.format(i) + ".weight").T)) for i in range(nL)]),
+                "b": jnp.stack([jnp.asarray(g(fmt.format(i) + ".bias"))
+                                for i in range(nL)])}
+
+    def stack_ln(fmt):
+        return {"scale": jnp.stack([jnp.asarray(g(fmt.format(i) + ".weight"))
+                                    for i in range(nL)]),
+                "bias": jnp.stack([jnp.asarray(g(fmt.format(i) + ".bias"))
+                                   for i in range(nL)])}
+
+    refiner = {
+        "layers": tuple(
+            {"attn": {"q": lin(f"refine_embeddings.layers.{j}.self_attn"
+                               f".linears.0"),
+                      "k": lin(f"refine_embeddings.layers.{j}.self_attn"
+                               f".linears.1"),
+                      "v": lin(f"refine_embeddings.layers.{j}.self_attn"
+                               f".linears.2")},
+             "aoa": lin(f"refine_embeddings.layers.{j}.self_attn"
+                        f".aoa_layer.0"),
+             "ln_a": ln(f"refine_embeddings.layers.{j}.sublayer.0.norm"),
+             "ln_b": ln(f"refine_embeddings.layers.{j}.sublayer.1.norm"),
+             "ffn": {"w1": lin(f"refine_embeddings.layers.{j}"
+                               f".feed_forward.lin1"),
+                     "w2": lin(f"refine_embeddings.layers.{j}"
+                               f".feed_forward.lin2")}}
+            for j in range(refine_layers)),
+        "norm": ln("refine_embeddings.norm"),
+    }
+    return {
+        "encoder_attn": {
+            "q": stack_lin("encoder_attn.{}.q_lin"),
+            "k": stack_lin("encoder_attn.{}.k_lin"),
+            "v": stack_lin("encoder_attn.{}.v_lin"),
+            "o": stack_lin("encoder_attn.{}.out_lin")},
+        "ln15": stack_ln("layer_norm15.{}"),
+        "pred_bias": jnp.asarray(g("pred_layer.proj.bias")),
+        "cross_lang": jnp.asarray(g("cross_lang_embeddings.weight")),
+        "refiner": refiner,
+        "seq_relationship": lin("seq_relationship"),
+        "pooler2": lin("pooled_layer2.dense"),
+        "seq_relationship2": lin("seq_relationship2"),
+        "mrfr": lin("mrfr_dense"),
+        "obj_transform": {"dense": lin("transformer_obj.dense"),
+                          "ln": ln("transformer_obj.LayerNorm")},
+        "obj_proj": lin("pred_obj_layer.proj"),
+        "vae": {"x_to_mu": lin("latent_transforms.0.x_to_mu"),
+                "x_to_logvar": lin("latent_transforms.0.x_to_logvar"),
+                "out_dense": lin("latent_transforms.0.out_dense")},
+        "latent_decoder": {"dense": lin("original_transforms.0.dense"),
+                           "dense_mu": lin("original_transforms.0.dense_mu"),
+                           "ln": ln("original_transforms.0.LayerNorm")},
+    }
