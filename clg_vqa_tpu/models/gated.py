@@ -251,7 +251,7 @@ def _merge_heads(x):
 
 
 def _gated_attention(p: Params, cfg: GatedConfig, n: int, t, v, t_mask,
-                     v_mask, *, deterministic, rng):
+                     v_mask, *, deterministic, rng, compute_dtype=None):
     """BertGatedAttention.forward (encoders.py:229-451): gated QK^T with
     JOINT softmax over concatenated intra+inter scores when both gates are
     on, gated PV, per-stream output dense + residual + LN (or one LN over
@@ -268,18 +268,23 @@ def _gated_attention(p: Params, cfg: GatedConfig, n: int, t, v, t_mask,
 
     tp = p.get("t")
     vp = p.get("v", tp if (has_text and has_vision and shared) else None)
+    cd = compute_dtype
 
     if has_text:
-        tq = _split_heads(L.linear(t, tp["q"]), nh)
-        tk = _split_heads(L.linear(t, tp["k"]), nh)
-        tv_ = _split_heads(L.linear(t, tp["v"]), nh)
+        tq = _split_heads(L.linear(t, tp["q"], cd), nh)
+        tk = _split_heads(L.linear(t, tp["k"], cd), nh)
+        tv_ = _split_heads(L.linear(t, tp["v"], cd), nh)
     if has_vision:
-        vq = _split_heads(L.linear(v, vp["q"]), vnh)
-        vk = _split_heads(L.linear(v, vp["k"]), vnh)
-        vv_ = _split_heads(L.linear(v, vp["v"]), vnh)
+        vq = _split_heads(L.linear(v, vp["q"], cd), vnh)
+        vk = _split_heads(L.linear(v, vp["k"], cd), vnh)
+        vv_ = _split_heads(L.linear(v, vp["v"], cd), vnh)
 
     def scores(q, k, hd, mask):
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
+        # scores/softmax stay fp32 regardless of the compute dtype (the
+        # reference computes in the model dtype; bf16 mode accumulates
+        # QK^T in fp32 via preferred_element_type)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
         return s + mask
 
     rngs = iter(jax.random.split(rng, 8) if rng is not None else [None] * 8)
@@ -306,9 +311,12 @@ def _gated_attention(p: Params, cfg: GatedConfig, n: int, t, v, t_mask,
         for w, val in zip(widths, vals):
             pr = drop(probs[..., off:off + w],
                       cfg.attention_probs_dropout_prob)
-            ctx = ctx + jnp.einsum("bhqk,bhkd->bhqd", pr, val)
+            if cd is not None:
+                pr = pr.astype(cd)
+            ctx = ctx + jnp.einsum("bhqk,bhkd->bhqd", pr, val,
+                                   preferred_element_type=jnp.float32)
             off += w
-        t_ctx = _merge_heads(ctx)
+        t_ctx = _merge_heads(ctx if cd is None else ctx.astype(cd))
     if has_vision:
         vhd = V // vnh
         v_rate = (cfg.attention_probs_dropout_prob
@@ -329,19 +337,22 @@ def _gated_attention(p: Params, cfg: GatedConfig, n: int, t, v, t_mask,
         ctx = 0.0
         for w, val in zip(widths, vals):
             pr = drop(probs[..., off:off + w], v_rate)
-            ctx = ctx + jnp.einsum("bhqk,bhkd->bhqd", pr, val)
+            if cd is not None:
+                pr = pr.astype(cd)
+            ctx = ctx + jnp.einsum("bhqk,bhkd->bhqd", pr, val,
+                                   preferred_element_type=jnp.float32)
             off += w
-        v_ctx = _merge_heads(ctx)
+        v_ctx = _merge_heads(ctx if cd is None else ctx.astype(cd))
 
     # BertGatedSelfOutput (encoders.py:368-425)
     top = p.get("t_out")
     vop = p.get("v_out", top if (has_text and has_vision and shared)
                 else None)
-    t_res = (drop(L.linear(t_ctx, top["dense"]),
+    t_res = (drop(L.linear(t_ctx, top["dense"], cd),
                   cfg.hidden_dropout_prob) if has_text else 0.0)
     v_rate_out = (cfg.hidden_dropout_prob if (has_text and shared)
                   else cfg.v_hidden_dropout_prob)
-    v_res = (drop(L.linear(v_ctx, vop["dense"]), v_rate_out)
+    v_res = (drop(L.linear(v_ctx, vop["dense"], cd), v_rate_out)
              if has_vision else 0.0)
     if single_ln:
         joint = jnp.concatenate([t_res + t, v_res + v], axis=1)
@@ -356,7 +367,7 @@ def _gated_attention(p: Params, cfg: GatedConfig, n: int, t, v, t_mask,
 
 
 def _gated_ff(p: Params, cfg: GatedConfig, n: int, t, v, *, deterministic,
-              rng):
+              rng, compute_dtype=None):
     """BertGatedFeedForward (encoders.py:453-581): per-stream
     dense->GeLU->dense->dropout + residual + LN, shared/single-LN like the
     attention output."""
@@ -370,17 +381,18 @@ def _gated_ff(p: Params, cfg: GatedConfig, n: int, t, v, *, deterministic,
     tp = p.get("t")
     vp = p.get("v", tp if (has_t and has_v and shared) else None)
 
+    cd = compute_dtype
     t_res = 0.0
     if has_t:
-        h = L.gelu(L.linear(t, tp["w1"]))
-        t_res = L.dropout(L.linear(h, tp["w2"]), cfg.hidden_dropout_prob,
+        h = L.gelu(L.linear(t, tp["w1"], cd))
+        t_res = L.dropout(L.linear(h, tp["w2"], cd), cfg.hidden_dropout_prob,
                           next(rngs), deterministic)
     v_res = 0.0
     if has_v:
-        h = L.gelu(L.linear(v, vp["w1"]))
+        h = L.gelu(L.linear(v, vp["w1"], cd))
         v_rate = (cfg.hidden_dropout_prob if (has_t and shared)
                   else cfg.v_hidden_dropout_prob)
-        v_res = L.dropout(L.linear(h, vp["w2"]), v_rate, next(rngs),
+        v_res = L.dropout(L.linear(h, vp["w2"], cd), v_rate, next(rngs),
                           deterministic)
     if single_ln:
         joint = jnp.concatenate([t_res + t, v_res + v], axis=1)
@@ -435,10 +447,11 @@ def encode(params: Params, cfg: GatedConfig, batch: dict, *,
         if cfg.sub_kind(n) == "attn":
             t, v = _gated_attention(p, cfg, n, t, v, t_mask, v_mask,
                                     deterministic=deterministic,
-                                    rng=next(rngs))
+                                    rng=next(rngs),
+                                    compute_dtype=compute_dtype)
         else:
             t, v = _gated_ff(p, cfg, n, t, v, deterministic=deterministic,
-                             rng=next(rngs))
+                             rng=next(rngs), compute_dtype=compute_dtype)
 
     act = jax.nn.relu if cfg.fusion_act == "relu" else jnp.tanh
     pooled_t = pooled_v = None
