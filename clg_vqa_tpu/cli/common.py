@@ -113,8 +113,9 @@ def build_configs(args):
         import json as _json
         with open(args.config_file) as f:
             raw = _json.load(f)
+        from ..models.gated import DUAL_EMBEDDINGS, SHARED_EMBEDDINGS
         if raw.get("image_embeddings", "uc2") in (
-                "vilbert", "lxmert", "vl-bert", "visualbert", "uniter"):
+                DUAL_EMBEDDINGS + SHARED_EMBEDDINGS):
             # general gated-zoo wiring (models/gated.py) — ViLBERT/LXMERT/
             # VL-BERT/VisualBERT/UNITER configs run on the general encoder
             from ..models.gated import GatedConfig

@@ -103,9 +103,12 @@ def dual_image_embed(p: Params, cfg, features, locs, *, deterministic=True,
 # ---------------------------------------------------------------------------
 
 def init_visualbert(rng, cfg) -> Params:
-    ks = iter(jax.random.split(rng, 6))
+    # fold before splitting: jax.random.split is prefix-stable, so handing
+    # the SAME rng to both split() and init_bert_text would draw the
+    # projection weights from the word-table key
+    ks = iter(jax.random.split(jax.random.fold_in(rng, 1), 6))
     H, std = cfg.hidden_size, cfg.initializer_range
-    p = init_bert_text(rng, cfg)
+    p = init_bert_text(jax.random.fold_in(rng, 0), cfg)
     p["projection"] = L.init_linear(next(ks), cfg.v_feature_size, H, std)
     # special_initialize (embeddings.py:402-408): the visual type/position
     # tables START as copies of the text tables (independent thereafter)
@@ -120,7 +123,6 @@ def visualbert_embed(p: Params, cfg, input_ids, features, locs,
     image = projection + visual-position[0] + visual-type[1], then ONE
     LayerNorm+dropout over the concatenation, split back."""
     B, S = input_ids.shape
-    R = features.shape[1]
     eps = cfg.layer_norm_eps
     pos_ids = jnp.broadcast_to(jnp.arange(S), input_ids.shape)
     t = (L.embedding_lookup(p["word"], input_ids)
@@ -139,9 +141,9 @@ def visualbert_embed(p: Params, cfg, input_ids, features, locs,
 # ---------------------------------------------------------------------------
 
 def init_uniter(rng, cfg) -> Params:
-    ks = iter(jax.random.split(rng, 8))
+    ks = iter(jax.random.split(jax.random.fold_in(rng, 1), 8))
     H, std = cfg.hidden_size, cfg.initializer_range
-    p = init_bert_text(rng, cfg)
+    p = init_bert_text(jax.random.fold_in(rng, 0), cfg)
     p["image"] = L.init_linear(next(ks), cfg.v_feature_size,
                                cfg.v_hidden_size, std)
     p["loc"] = L.init_linear(next(ks), cfg.num_locs, cfg.v_hidden_size, std)

@@ -202,7 +202,6 @@ def init_params(rng: jax.Array, cfg: GatedConfig) -> Params:
                 p["v"] = {"q": lin(cfg.v_hidden_size, V),
                           "k": lin(cfg.v_hidden_size, V),
                           "v": lin(cfg.v_hidden_size, V)}
-            if has_vision and not (has_text and shared):
                 p["v_out"] = {"dense": lin(V, cfg.v_hidden_size),
                               "ln": L.init_ln(cfg.v_hidden_size)}
             subs.append(p)

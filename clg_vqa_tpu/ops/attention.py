@@ -615,12 +615,14 @@ def fused_attention_train_flat(q: jnp.ndarray, k: jnp.ndarray,
         def body(q, k, v, b2, seed):
             # decorrelate the per-shard dropout streams: each (dp, mp)
             # shard re-runs the same grid/program_id range, so without an
-            # offset every shard would draw identical masks. The offsets
-            # clear the largest possible per-shard grid (B cells) and the
-            # backward replays them identically (axis_index is stable
-            # across the custom-vjp fwd/bwd pair).
-            off = (jax.lax.axis_index(dp) * (1 << 20)
-                   + jax.lax.axis_index(mp) * (1 << 26)).astype(jnp.int32)
+            # offset every shard would draw identical masks. A flat shard
+            # rank (dp-major) times a stride exceeding any per-shard grid
+            # keeps every shard's stream disjoint for up to 2^11 shards
+            # (int32 headroom); the backward replays the same offsets
+            # (axis_index is stable across the custom-vjp fwd/bwd pair).
+            rank = (jax.lax.axis_index(dp) * mesh.shape[mp]
+                    + jax.lax.axis_index(mp))
+            off = (rank * (1 << 20)).astype(jnp.int32)
             return _attn_train_core_flat(q, k, v, b2, seed + off, t,
                                          local_heads)
 

@@ -160,9 +160,20 @@ def roi_align_flat(flat_features: jnp.ndarray, rois: jnp.ndarray,
     the round-4 "db=24 OOM" — the X101 HBM-ceiling forensics in
     docs/PERFORMANCE.md). None = unchunked.
     """
-    if box_chunk is not None and box_chunk < rois.shape[0]:
+    if box_chunk is not None and 0 < box_chunk < rois.shape[0]:
+        # (box_chunk <= 0 means unchunked, like None)
         R = rois.shape[0]
         chunk = max(c for c in range(1, box_chunk + 1) if R % c == 0)
+        if chunk == 1:
+            # R coprime to every c <= box_chunk (e.g. prime R): a
+            # one-box-per-step lax.map would be a silent orders-of-magnitude
+            # slowdown — run unchunked instead (R=1000 in the X101 envelope
+            # always has good divisors, so this is a safety net only)
+            chunk = R
+    else:
+        chunk = rois.shape[0]
+    if chunk < rois.shape[0]:
+        R = rois.shape[0]
         out = jax.lax.map(
             lambda rl: roi_align_flat(
                 flat_features, rl[0], rl[1], level_shapes=level_shapes,
